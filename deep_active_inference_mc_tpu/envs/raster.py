@@ -1,0 +1,164 @@
+"""On-device procedural rasterizer for the dynamic-dSprites environment.
+
+The reference renders frames by table lookup into the 737,280-image dSprites
+npz (``/root/reference/src/game_environment.py:10,44-45``). That dataset is a
+dense grid over (shape, scale, orientation, posX, posY) where position only
+*translates* the sprite by whole pixels (centers span pixels 16..47 of the
+64x64 canvas — cf. the demo's visit-density mask being drawn into
+``frame[16:48, 16:48]``, ``/root/reference/test_demo.py:210``).
+
+TPU-native design: instead of shipping a 3 GB dataset to HBM we rasterize the
+720 unique sprites (3 shapes x 6 scales x 40 orientations) once on device
+into a (720, 96, 96) look-up table centered at (48, 48), then render any
+frame as a single dynamic-slice per environment. Rendering a batch of
+thousands of envs is one gather + slice — no host round-trips, no dataset.
+
+Supersampled inside-tests (4x4 per pixel, thresholded at 0.5) give clean
+binary sprites matching dSprites' binary imgs.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# dSprites latent grid (reference: game_environment.py:15 metadata
+# latents_sizes = [1, 3, 6, 40, 32, 32]).
+N_COLOR, N_SHAPE, N_SCALE, N_ORIENT, N_POSX, N_POSY = 1, 3, 6, 40, 32, 32
+N_SPRITES = N_SHAPE * N_SCALE * N_ORIENT  # 720 unique (untranslated) sprites
+
+CANVAS = 96  # LUT canvas; sprite centered at (48, 48)
+CENTER = 48
+RES = 64  # frame resolution
+POS_OFFSET = 16  # sprite centers span pixels [16, 48) of the frame
+
+# Shape geometry (canonical frame, |coord| <= 1 at scale 1).
+_BASE_HALF_EXTENT = 8.0  # pixels at scale value 1.0
+_SCALE_VALUES = np.linspace(0.5, 1.0, N_SCALE)  # dSprites: 6 values in [0.5,1]
+_ORIENT_VALUES = np.linspace(0.0, 2.0 * np.pi, N_ORIENT)  # 40 values in [0,2pi]
+
+_SS = 4  # supersampling factor per axis
+
+
+def _inside_square(x, y):
+    return jnp.maximum(jnp.abs(x), jnp.abs(y)) <= 1.0
+
+
+def _inside_ellipse(x, y):
+    return jnp.square(x / 1.1) + jnp.square(y / 0.62) <= 1.0
+
+
+def _inside_heart(x, y):
+    # Classic implicit heart curve (x^2 + y^2 - 1)^3 - x^2 y^3 <= 0,
+    # scaled to roughly fill the unit box and flipped so the point faces -y.
+    xs = x / 0.80
+    ys = -y / 0.80 + 0.25
+    q = xs * xs + ys * ys - 1.0
+    return q * q * q - xs * xs * ys * ys * ys <= 0.0
+
+
+def _rasterize_sprite(shape_idx, scale_value, orient):
+    """Rasterize one sprite onto the 96x96 canvas. All-traced, jit-friendly."""
+    # Supersampled pixel-center offsets from the canvas center.
+    n = CANVAS * _SS
+    coords = (jnp.arange(n, dtype=jnp.float32) + 0.5) / _SS - 0.5 - CENTER
+    ys = coords[:, None]  # rows
+    xs = coords[None, :]  # cols
+    # Rotate into the sprite frame and normalize by pixel half-extent.
+    c, s = jnp.cos(orient), jnp.sin(orient)
+    half = _BASE_HALF_EXTENT * scale_value
+    xr = (c * xs + s * ys) / half
+    yr = (-s * xs + c * ys) / half
+    inside = jax.lax.switch(
+        shape_idx,
+        [
+            lambda a, b: _inside_square(a, b),
+            lambda a, b: _inside_ellipse(a, b),
+            lambda a, b: _inside_heart(a, b),
+        ],
+        xr,
+        yr,
+    )
+    # Box-filter the supersamples and threshold to binary (dSprites imgs are
+    # binary uint8).
+    frac = jnp.mean(
+        inside.astype(jnp.float32).reshape(CANVAS, _SS, CANVAS, _SS),
+        axis=(1, 3),
+    )
+    return (frac >= 0.5).astype(jnp.float32)
+
+
+@functools.cache
+def build_sprite_lut() -> jax.Array:
+    """(720, 96, 96) float32 sprite table, computed once on device.
+
+    Index layout matches the dSprites mixed-radix order restricted to the
+    (shape, scale, orientation) sub-grid: idx = shape*240 + scale*40 + orient.
+    """
+    shape_idx = jnp.arange(N_SPRITES, dtype=jnp.int32) // (N_SCALE * N_ORIENT)
+    scale_idx = (jnp.arange(N_SPRITES, dtype=jnp.int32) // N_ORIENT) % N_SCALE
+    orient_idx = jnp.arange(N_SPRITES, dtype=jnp.int32) % N_ORIENT
+    scale_vals = jnp.asarray(_SCALE_VALUES, dtype=jnp.float32)[scale_idx]
+    orient_vals = jnp.asarray(_ORIENT_VALUES, dtype=jnp.float32)[orient_idx]
+
+    @jax.jit
+    def _build(shape_idx, scale_vals, orient_vals):
+        return jax.lax.map(
+            lambda args: _rasterize_sprite(*args),
+            (shape_idx, scale_vals, orient_vals),
+            batch_size=48,
+        )
+
+    lut = _build(shape_idx, scale_vals, orient_vals)
+    return jax.block_until_ready(lut)
+
+
+def sprite_index(latents: jax.Array) -> jax.Array:
+    """(shape, scale, orient) latents -> LUT row. ``latents``: (..., 6) int32
+    in dSprites order [color, shape, scale, orientation, posX, posY].
+    """
+    return (
+        latents[..., 1] * (N_SCALE * N_ORIENT)
+        + latents[..., 2] * N_ORIENT
+        + latents[..., 3]
+    )
+
+
+def render_sprites(lut: jax.Array, latents: jax.Array) -> jax.Array:
+    """Render sprite frames (no reward strip). latents: (B, 6) int32.
+
+    Returns (B, 64, 64, 1) float32 binary frames. Sprite center lands at
+    frame pixel (16 + posY, 16 + posX), matching the reference dataset's
+    geometry (test_demo.py:87-113 mask arithmetic).
+    """
+    idx = sprite_index(latents)
+    base = lut[idx]  # (B, 96, 96) gather
+    row0 = (CENTER - POS_OFFSET) - latents[..., 5]  # 32 - posY
+    col0 = (CENTER - POS_OFFSET) - latents[..., 4]  # 32 - posX
+
+    def slice_one(img, r, c):
+        return jax.lax.dynamic_slice(img, (r, c), (RES, RES))
+
+    frames = jax.vmap(slice_one)(base, row0, col0)
+    return frames[..., None]
+
+
+def paint_reward_strip(frames: jax.Array, last_r: jax.Array) -> jax.Array:
+    """Overwrite the 3-row reward strip (reference: game_environment.py:48-53).
+
+    If last_r in [0, 1]: rows 0-2, cols 0-31 := last_r (right half keeps the
+    sprite). If last_r in [-1, 0): rows 0-2, cols 32-63 := -last_r.
+    """
+    B = frames.shape[0]
+    r = last_r.reshape(B, 1, 1, 1)
+    rows = jnp.arange(RES).reshape(1, RES, 1, 1)
+    cols = jnp.arange(RES).reshape(1, 1, RES, 1)
+    strip = rows < 3
+    left = strip & (cols < RES // 2)
+    right = strip & (cols >= RES // 2)
+    frames = jnp.where(left & (r >= 0.0), r, frames)
+    frames = jnp.where(right & (r < 0.0), -r, frames)
+    return frames
