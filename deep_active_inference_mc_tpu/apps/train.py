@@ -1,0 +1,158 @@
+"""Training driver — rebuild of ``/root/reference/train.py``.
+
+Usage:
+    python -m deep_active_inference_mc_tpu.apps.train [--resume] [--batch N]
+        [--epochs N] [--rounds N] [... any Config field ...]
+
+Differences from the reference driver (all TPU-first, same capabilities):
+  - the whole epoch (1000 rounds of data-gen + 3-stage update) is ONE jitted
+    ``lax.scan`` running on-device; the host only orchestrates epochs,
+    checkpoints, stats and plots;
+  - checkpoint/resume via Orbax restores optimizer state correctly
+    (the reference port silently dropped it — SURVEY.md §2.9.5);
+  - precision scalars are checkpointed directly rather than recovered from
+    the stats tail (torchmodel.py:202-207).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+import jax
+import numpy as np
+
+from deep_active_inference_mc_tpu.config import Config
+from deep_active_inference_mc_tpu.envs import raster
+from deep_active_inference_mc_tpu.infer.agent import ActiveInferenceAgent
+from deep_active_inference_mc_tpu.infer.precision import anneal_gamma
+from deep_active_inference_mc_tpu.ops import math as m
+from deep_active_inference_mc_tpu.train import loop as train_loop
+from deep_active_inference_mc_tpu.train.evaluate import make_jit_eval
+from deep_active_inference_mc_tpu.utils import checkpoint as ckpt
+from deep_active_inference_mc_tpu.utils import stats as stats_lib
+from deep_active_inference_mc_tpu.viz.generate_traversals import generate_traversals
+from deep_active_inference_mc_tpu.viz.reconstructions_plot import reconstructions_plot
+from deep_active_inference_mc_tpu.viz.stats_plot import stats_plot
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(add_help=False)
+    parser.add_argument("-r", "--resume", action="store_true")
+    parser.add_argument("-b", "--batch", type=int, default=None)
+    known, rest = parser.parse_known_args(argv)
+    overrides = {"batch": known.batch} if known.batch else {}
+    cfg = Config.from_args(rest, **overrides)
+
+    folder = cfg.folder
+    folder_chp = cfg.folder_chp
+    folder.mkdir(parents=True, exist_ok=True)
+    folder_chp.mkdir(parents=True, exist_ok=True)
+    cfg.save(folder / "config.json")
+
+    agent = ActiveInferenceAgent(
+        s_dim=cfg.s_dim,
+        pi_dim=cfg.pi_dim,
+        colour_channels=cfg.colour_channels,
+        resolution=cfg.resolution,
+    )
+    lut = raster.build_sprite_lut()
+
+    key = jax.random.key(0)
+    key, k_init = jax.random.split(key)
+    state = train_loop.create_train_state(cfg, agent, k_init)
+    stats = stats_lib.new_stats()
+    start_epoch = 1
+
+    if known.resume and ckpt.latest_exists(folder_chp):
+        state, stats, key = ckpt.load_all(folder_chp, state)
+        stats = stats_lib.pad_missing(stats)
+        start_epoch = len(stats["F"]) + 1
+        print(f"Resumed from {folder_chp} at epoch {start_epoch}")
+
+    epoch_fn = train_loop.make_jit_epoch(agent, cfg, lut, cfg.rounds)
+    eval_fn = make_jit_eval(agent, cfg, lut)
+    decode_fn = jax.jit(lambda p, s: agent.decode(p, s))
+
+    start_time = time.time()
+    for epoch in range(start_epoch, cfg.epochs + 1):
+        # gamma annealing (train.py:101-102).
+        state = state.replace(
+            precision=anneal_gamma(
+                state.precision, epoch, cfg.gamma_delay, cfg.gamma_rate,
+                cfg.gamma_max,
+            )
+        )
+
+        key, k_epoch, k_eval = jax.random.split(key, 3)
+        state, train_metrics = epoch_fn(state, k_epoch)
+        train_metrics = jax.tree.map(float, jax.device_get(train_metrics))
+
+        if epoch % cfg.save_every == 0:
+            ckpt.save_all(folder_chp, state, stats, key, script_file=__file__)
+        if epoch % cfg.archive_every == 0:
+            ckpt.archive(folder_chp, epoch)
+
+        # ---- evaluation (train.py:136-146) --------------------------------
+        ev = jax.device_get(eval_fn(state.params, state.precision, k_eval))
+
+        stats["F"].append(float(ev["F"]))
+        stats["F_top"].append(float(ev["F_top"]))
+        stats["F_mid"].append(float(ev["F_mid"]))
+        stats["F_down"].append(float(ev["F_down"]))
+        stats["mse_o"].append(float(ev["mse_o"]))
+        stats["kl_div_s"].append(float(ev["kl_div_s"]))
+        stats["kl_div_s_anal"].append(np.asarray(ev["kl_div_s_anal"]))
+        stats["kl_div_s_naive"].append(float(ev["kl_div_s_naive"]))
+        stats["kl_div_s_naive_anal"].append(np.asarray(ev["kl_div_s_naive_anal"]))
+        stats["omega"].append(train_metrics["omega"])
+        stats["omega_std"].append(train_metrics["omega_std"])
+        stats["kl_div_pi"].append(float(ev["kl_div_pi"]))
+        stats["kl_div_pi_min"].append(float(ev["kl_div_pi_min"]))
+        stats["kl_div_pi_max"].append(float(ev["kl_div_pi_max"]))
+        stats["kl_div_pi_med"].append(float(ev["kl_div_pi_med"]))
+        stats["kl_div_pi_std"].append(float(ev["kl_div_pi_std"]))
+        stats["kl_div_pi_anal"].append(np.asarray(ev["kl_div_pi_anal"]))
+        stats["var_beta_s"].append(float(state.precision.beta_s))
+        stats["var_gamma"].append(float(state.precision.gamma))
+        stats["var_beta_o"].append(float(state.precision.beta_o))
+        stats["var_a"].append(cfg.var_a)
+        stats["var_b"].append(cfg.var_b)
+        stats["var_c"].append(cfg.var_c)
+        stats["var_d"].append(cfg.var_d)
+        stats["TC"].append(float(m.total_correlation(ev["qs1"])))
+        stats["learning_rate"].append(cfg.l_rate_down)
+        stats["current_lr"].append(cfg.l_rate_down)
+        stats["mse_r"].append(float(ev["mse_r"]))
+        stats["score"].append(train_metrics["score"])
+
+        # ---- artifacts (train.py:177-186) ---------------------------------
+        generate_traversals(
+            decode_fn=lambda s: decode_fn(state.params, s),
+            s_dim=cfg.s_dim,
+            s_sample=ev["s0"],
+            S_real=ev["S0_real"],
+            filenames=[folder / f"traversals_at_epoch_{epoch:04d}.png"],
+        )
+        reconstructions_plot(
+            ev["o0"], ev["o1"], ev["po1"],
+            filename=folder / f"imagination_{cfg.signature}_{epoch}.png",
+        )
+        stats_plot(stats, folder / f"1_result_{cfg.signature}")
+
+        print(
+            f"{epoch}, F: {stats['F'][-1]:.2f}, MSEo: {stats['mse_o'][-1]:.3f}, "
+            f"KLs: {stats['kl_div_s'][-1]:.2f}, "
+            f"omega: {stats['omega'][-1]:.2f}+-{stats['omega_std'][-1]:.2f}, "
+            f"KLpi: {stats['kl_div_pi'][-1]:.2f}, TC: {stats['TC'][-1]:.2f}, "
+            f"score: {stats['score'][-1]:.2f}, "
+            f"dur. {time.time() - start_time:.2f}s",
+            flush=True,
+        )
+        start_time = time.time()
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

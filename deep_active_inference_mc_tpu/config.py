@@ -1,0 +1,109 @@
+"""Single-dataclass configuration for the whole framework.
+
+Rebuild of the reference's module-level constant blocks
+(``/root/reference/train.py:29-49``, ``train_causal.py:23-41``) plus its
+config-signature run-folder naming (train.py:51-54, minus the hard-coded
+Colab drive prefix — SURVEY.md §2.8). The config is serialized into the run
+directory and can be overridden from the CLI.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from pathlib import Path
+from typing import Optional
+
+
+@dataclasses.dataclass
+class Config:
+    # --- model dims (train.py:33-34) ---
+    s_dim: int = 10
+    pi_dim: int = 4
+    colour_channels: int = 1
+    resolution: int = 64
+
+    # --- omega sigmoid (train.py:29-32; semantics train.py:23-28) ---
+    var_a: float = 1.0
+    var_b: float = 25.0
+    var_c: float = 5.0
+    var_d: float = 1.5
+
+    # --- precisions & annealing (train.py:35-40) ---
+    beta_s: float = 1.0
+    beta_o: float = 1.0
+    gamma: float = 0.0
+    gamma_rate: float = 0.01
+    gamma_max: float = 0.8
+    gamma_delay: int = 30
+
+    # --- EFE data generation (train.py:41-43) ---
+    deepness: int = 1
+    samples: int = 1
+    repeats: int = 5
+    temperature: float = 10.0  # softmax(-G) temperature (util.py:46)
+
+    # --- optimization (train.py:44-46) ---
+    l_rate_top: float = 1e-4
+    l_rate_mid: float = 1e-4
+    l_rate_down: float = 1e-3
+
+    # --- training volume (train.py:20,47-49) ---
+    batch: int = 50
+    rounds: int = 1000
+    test_size: int = 1000
+    epochs: int = 1000
+
+    # --- checkpoint cadence (train.py:128-133) ---
+    save_every: int = 2
+    archive_every: int = 25
+
+    # --- TPU execution ---
+    bf16: bool = False  # bfloat16 compute for model forwards
+    mesh_shape: Optional[int] = None  # data-axis size; None = all devices
+
+    # --- run identity ---
+    prefix: str = "final_model_"
+    out_root: str = "runs"
+
+    @property
+    def signature(self) -> str:
+        """Run-folder signature (train.py:51-52)."""
+        return (
+            f"{self.prefix}{self.gamma_rate}_{self.gamma_delay}_{self.var_a}_"
+            f"{self.batch}_{self.s_dim}_{self.repeats}"
+        )
+
+    @property
+    def folder(self) -> Path:
+        return Path(self.out_root) / f"figs_{self.signature}"
+
+    @property
+    def folder_chp(self) -> Path:
+        return self.folder / "checkpoints"
+
+    def save(self, path: Path) -> None:
+        path.write_text(json.dumps(dataclasses.asdict(self), indent=2))
+
+    @classmethod
+    def load(cls, path: Path) -> "Config":
+        return cls(**json.loads(path.read_text()))
+
+    @classmethod
+    def from_args(cls, argv=None, **overrides) -> "Config":
+        """CLI override parsing: any field is settable via --field value."""
+        import argparse
+
+        parser = argparse.ArgumentParser(description="Config overrides.")
+        for f in dataclasses.fields(cls):
+            if f.type in ("int", "float", "str", int, float, str):
+                parser.add_argument(
+                    f"--{f.name}", type=eval(f.type) if isinstance(f.type, str) else f.type,
+                    default=None,
+                )
+            elif f.type in ("bool", bool):
+                parser.add_argument(f"--{f.name}", action="store_true", default=None)
+        args = parser.parse_args(argv)  # strict: typo'd flags error out
+        vals = {k: v for k, v in vars(args).items() if v is not None}
+        vals.update(overrides)
+        return cls(**vals)

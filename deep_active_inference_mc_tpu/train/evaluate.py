@@ -1,0 +1,151 @@
+"""Per-epoch quantitative evaluation, fully on-device.
+
+Rebuild of the reference's epoch-end eval block
+(``/root/reference/train.py:136-186``): a fresh random-policy batch scored by
+all three losses with fixed omega = a/2 + d, ground-truth factors for
+disentanglement metrics, and the reward-transition imagination probe
+(``/root/reference/src/util.py:6-44,82-85``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from deep_active_inference_mc_tpu.config import Config
+from deep_active_inference_mc_tpu.envs import dsprites as env_lib
+from deep_active_inference_mc_tpu.infer.agent import ActiveInferenceAgent, Params
+from deep_active_inference_mc_tpu.infer.precision import OmegaParams, PrecisionState
+from deep_active_inference_mc_tpu.train import losses
+
+
+def make_random_policy_batch(
+    cfg: Config, key: jax.Array, lut: jax.Array, size: int
+):
+    """Random-policy transitions with ground truth (util.py:6-25):
+    per item a fresh randomized env, a random categorical policy
+    Ppi ~ normalized U(0,1)^4, one action, ``repeats`` env steps.
+
+    Returns (o0, o1, pi0 one-hot, S0_real, S1_real)."""
+    k_env, k_ppi, k_act, k_step = jax.random.split(key, 4)
+    env = env_lib.reset(k_env, size)
+    env = env_lib.randomize(k_env, env)
+    o0 = env_lib.render(lut, env)
+    S0_real = env_lib.ground_truth_factors(env)
+
+    ppi = jax.random.uniform(k_ppi, (size, 4))
+    ppi = ppi / jnp.sum(ppi, axis=-1, keepdims=True)
+    actions = jax.random.categorical(k_act, jnp.log(ppi), axis=-1)
+    pi0 = jax.nn.one_hot(actions, 4, dtype=jnp.float32)
+
+    env, _ = env_lib.step_repeated(k_step, env, actions, repeats=cfg.repeats)
+    o1 = env_lib.render(lut, env)
+    S1_real = env_lib.ground_truth_factors(env)
+    return o0, o1, pi0, S0_real, S1_real
+
+
+def eval_losses(
+    agent: ActiveInferenceAgent,
+    cfg: Config,
+    params: Params,
+    precision: PrecisionState,
+    key: jax.Array,
+    o0: jax.Array,
+    o1: jax.Array,
+    pi0: jax.Array,
+) -> Dict[str, jax.Array]:
+    """All three losses on an eval batch with fixed omega = a/2 + d
+    (train.py:139-146). log_Ppi is the log of the one-hot action
+    (train.py:139)."""
+    omega_params = OmegaParams(cfg.var_a, cfg.var_b, cfg.var_c, cfg.var_d)
+    omega = jnp.asarray(omega_params.eval_omega, jnp.float32)
+    log_Ppi = jnp.log(pi0 + 1e-15)
+
+    k_s0, k_mid, k_down = jax.random.split(key, 3)
+    s0, _, _ = agent.encode_with_sample(params, k_s0, o0, dropout=True)
+    F_top, (kl_div_pi, kl_div_pi_anal, _) = losses.compute_loss_top(
+        agent, params["top"], s0, log_Ppi
+    )
+    qs1_mean, qs1_logvar = agent.encode(params, o1, k_mid, dropout=True)
+    F_mid, (mid_terms, ps1, ps1_mean, ps1_logvar) = losses.compute_loss_mid(
+        agent, params["mid"], k_mid, s0, pi0, qs1_mean, qs1_logvar, omega
+    )
+    F_down, (down_terms, po1, qs1) = losses.compute_loss_down(
+        agent, params["down"], k_down, o1, ps1_mean, ps1_logvar, omega,
+        precision,
+    )
+    return {
+        "F": (F_down + F_mid + F_top).mean(),
+        "F_top": F_top.mean(),
+        "F_mid": F_mid.mean(),
+        "F_down": F_down.mean(),
+        "mse_o": down_terms[0].mean(),  # pixel NLL (nats)
+        "kl_div_s": down_terms[1].mean(),
+        "kl_div_s_anal": down_terms[2].mean(0),
+        "kl_div_s_naive": down_terms[3].mean(),
+        "kl_div_s_naive_anal": down_terms[4].mean(0),
+        "kl_div_pi": kl_div_pi.mean(),
+        "kl_div_pi_min": kl_div_pi.min(),
+        "kl_div_pi_max": kl_div_pi.max(),
+        "kl_div_pi_med": jnp.median(kl_div_pi),
+        "kl_div_pi_std": kl_div_pi.std(),
+        "kl_div_pi_anal": kl_div_pi_anal.mean(0),
+        "s0": s0,
+        "po1": po1,
+        "qs1": qs1,
+    }
+
+
+def reward_transition_probe(
+    agent: ActiveInferenceAgent,
+    cfg: Config,
+    params: Params,
+    key: jax.Array,
+    lut: jax.Array,
+    size: int,
+):
+    """Does imagination predict the *reward consequence* of a scoring move?
+    (util.py:27-44, train.py:181-186.) Objects are pinned at posY=31 (the
+    scoring edge), pushed 'up', and the imagined next frame's reward strip is
+    compared to reality by MSE (compare_reward, util.py:82-85)."""
+    k_env, k_step, k_im = jax.random.split(key, 3)
+    env = env_lib.reset(k_env, size)
+    env = env_lib.randomize(k_env, env)
+    env = env.replace(latents=env.latents.at[:, 5].set(31))
+    o0 = env_lib.render(lut, env)
+
+    actions = jnp.zeros((size,), jnp.int32)  # 'up'
+    env, _ = env_lib.step_repeated(k_step, env, actions, repeats=cfg.repeats)
+    o1 = env_lib.render(lut, env)
+
+    pi0 = jax.nn.one_hot(actions, 4, dtype=jnp.float32)
+    po1 = agent.imagine_future_from_o(params, k_im, o0, pi0)
+    mse_r = jnp.mean(jnp.square(o1[:, 0:3] - po1[:, 0:3]))
+    return mse_r, o0, o1, po1
+
+
+def make_jit_eval(agent: ActiveInferenceAgent, cfg: Config, lut: jax.Array):
+    """One jitted eval pass returning the full epoch stats payload."""
+
+    @jax.jit
+    def evaluate(params, precision, key):
+        k_batch, k_loss, k_probe = jax.random.split(key, 3)
+        o0, o1, pi0, S0_real, _ = make_random_policy_batch(
+            cfg, k_batch, lut, cfg.test_size
+        )
+        metrics = eval_losses(
+            agent, cfg, params, precision, k_loss, o0, o1, pi0
+        )
+        mse_r, _, _, _ = reward_transition_probe(
+            agent, cfg, params, k_probe, lut, cfg.test_size
+        )
+        metrics["mse_r"] = mse_r
+        metrics["S0_real"] = S0_real
+        metrics["o0"] = o0
+        metrics["o1"] = o1
+        return metrics
+
+    return evaluate

@@ -1,0 +1,119 @@
+"""Checkpoint / resume with Orbax.
+
+Rebuild of the reference's checkpoint subsystem (SURVEY.md §3.5,
+``/root/reference/src/torchmodel.py:179-208``, ``train.py:128-133``):
+
+  - periodic full save every ``save_every`` epochs: params + optimizer
+    states + precision scalars + PRNG key (Orbax) alongside the pickled
+    stats dict and a source-code snapshot of the model/loss modules and the
+    driver script (torchmodel.py:186-189);
+  - immutable weight-only archives every ``archive_every`` epochs (the
+    reference copies the checkpoint dir minus optimizers.pkl,
+    train.py:130-133);
+  - resume restores everything *including optimizer state* — fixing the
+    port's double-read bug that silently dropped it (torchmodel.py:195-201,
+    SURVEY.md §2.9.5).
+"""
+
+from __future__ import annotations
+
+import pickle
+import shutil
+from pathlib import Path
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+_SNAPSHOT_SOURCES = [
+    "models/networks.py",
+    "train/losses.py",
+    "train/loop.py",
+]
+
+
+def _to_host(tree):
+    return jax.tree.map(lambda x: np.asarray(x), tree)
+
+
+def save_all(
+    folder_chp: Path,
+    state: Any,
+    stats: Dict,
+    rng_key: jax.Array,
+    script_file: str = "",
+) -> None:
+    """Full checkpoint: Orbax state + stats.pkl + source snapshot."""
+    folder_chp = Path(folder_chp).resolve()
+    folder_chp.mkdir(parents=True, exist_ok=True)
+
+    ckpt_dir = folder_chp / "state"
+    if ckpt_dir.exists():
+        shutil.rmtree(ckpt_dir)
+    with ocp.StandardCheckpointer() as ckptr:
+        payload = {
+            "state": _to_host(state),
+            "rng_key": np.asarray(jax.random.key_data(rng_key)),
+        }
+        ckptr.save(ckpt_dir, payload)
+
+    with open(folder_chp / "stats.pkl", "wb") as f:
+        pickle.dump(stats, f)
+
+    # Source snapshot (torchmodel.py:186-189).
+    pkg_root = Path(__file__).resolve().parent.parent
+    for rel in _SNAPSHOT_SOURCES:
+        src = pkg_root / rel
+        if src.exists():
+            shutil.copyfile(src, folder_chp / src.name)
+    if script_file and Path(script_file).exists():
+        shutil.copyfile(script_file, folder_chp / Path(script_file).name)
+
+
+def load_all(
+    folder_chp: Path, state_template: Any
+) -> Tuple[Any, Dict, jax.Array]:
+    """Restore (state, stats, rng_key). ``state_template`` provides the
+    pytree structure/shapes (a freshly created TrainState)."""
+    folder_chp = Path(folder_chp).resolve()
+    with ocp.StandardCheckpointer() as ckptr:
+        template = {
+            "state": _to_host(state_template),
+            "rng_key": np.zeros((2,), np.uint32),
+        }
+        payload = ckptr.restore(folder_chp / "state", template)
+    with open(folder_chp / "stats.pkl", "rb") as f:
+        stats = pickle.load(f)
+    state = jax.tree.map(
+        lambda t, x: jax.numpy.asarray(x), state_template, payload["state"]
+    )
+    rng_key = jax.random.wrap_key_data(
+        jax.numpy.asarray(payload["rng_key"])
+    )
+    return state, stats, rng_key
+
+
+def archive(folder_chp: Path, epoch: int) -> None:
+    """Immutable weight-only archive: copy the checkpoint dir, drop the
+    optimizer state (train.py:130-133)."""
+    folder_chp = Path(folder_chp).resolve()
+    dst = folder_chp.parent / f"{folder_chp.name}_epoch_{epoch}"
+    if dst.exists():
+        shutil.rmtree(dst)
+    shutil.copytree(folder_chp, dst)
+    # Orbax stores the state as one tree; rewrite the archive without
+    # optimizer states to mirror the reference's optimizers.pkl removal.
+    state_dir = dst / "state"
+    if state_dir.exists():
+        with ocp.StandardCheckpointer() as ckptr:
+            payload = ckptr.restore(state_dir)
+            payload["state"].pop("opt_states", None)
+            shutil.rmtree(state_dir)
+            ckptr.save(state_dir, payload)
+
+
+def latest_exists(folder_chp: Path) -> bool:
+    return (Path(folder_chp) / "state").exists() and (
+        Path(folder_chp) / "stats.pkl"
+    ).exists()

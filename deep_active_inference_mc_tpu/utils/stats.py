@@ -1,0 +1,40 @@
+"""Training statistics registry.
+
+Rebuild of the reference's bespoke ``stats`` dict of ~34 named series
+(``/root/reference/train.py:63-74,148-175``): appended once per epoch,
+pickled into every checkpoint, rendered by ``viz.stats_plot``. Key set is
+kept reference-identical so downstream plotting and resume-padding
+(train.py:76-83) behave the same.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List
+
+STATS_KEYS = [
+    "F", "F_top", "F_mid", "F_down", "mse_o", "TC",
+    "kl_div_s", "kl_div_s_anal", "omega", "learning_rate",
+    "current_lr", "mse_r", "omega_std", "kl_div_pi",
+    "kl_div_pi_min", "kl_div_pi_max", "kl_div_pi_med",
+    "kl_div_pi_std", "kl_div_pi_anal", "deep_mse_o",
+    "var_beta_o", "var_beta_s", "var_gamma", "var_a",
+    "var_b", "var_c", "var_d", "kl_div_s_naive",
+    "kl_div_s_naive_anal", "score", "train_scores_m",
+    "train_scores_std", "train_scores_sem", "train_scores_min",
+    "train_scores_max",
+]
+
+
+def new_stats() -> Dict[str, List]:
+    return {k: [] for k in STATS_KEYS}
+
+
+def pad_missing(stats: Dict[str, List]) -> Dict[str, List]:
+    """Resume-padding: add any missing keys and pad short series with zeros
+    to the length of stats['F'] (train.py:78-82)."""
+    n = len(stats.get("F", []))
+    for k in STATS_KEYS:
+        stats.setdefault(k, [])
+        while len(stats[k]) < n:
+            stats[k].append(0.0)
+    return stats

@@ -1,0 +1,103 @@
+"""15-panel training dashboard (reference ``graphs/stats_plot.py:4-125``).
+
+Host-side matplotlib; renders the per-epoch stats series to PNG + SVG,
+including the published pixel-NLL quality guide lines (acceptable 80 nats /
+perfect 60 nats, stats_plot.py:87-88 — the reference's de-facto benchmark).
+"""
+
+from __future__ import annotations
+
+import matplotlib
+
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt
+import numpy as np
+
+NLL_ACCEPTABLE = 80.0
+NLL_PERFECT = 60.0
+
+
+def _series(stats, key):
+    return np.asarray(stats.get(key, []), dtype=object).astype(float) \
+        if stats.get(key) and np.ndim(stats[key][0]) == 0 else stats.get(key, [])
+
+
+def stats_plot(stats, filename):
+    fig = plt.figure(figsize=(14, 12))
+
+    def logpanel(i, ylabel):
+        ax = plt.subplot(4, 4, i)
+        ax.set_yscale("log")
+        ax.set_ylabel(ylabel)
+        ax.grid(True)
+        return ax
+
+    ax = logpanel(1, "F")
+    ax.plot(np.asarray(stats["kl_div_s"]) + np.asarray(stats["mse_o"]), "k", label="F")
+    ax.plot(np.asarray(stats["F"]), "k--", label="F (weighted)")
+    ax.legend()
+
+    for i, key in ((2, "F_top"), (3, "F_mid"), (4, "F_down")):
+        logpanel(i, key).plot(np.asarray(stats[key]), "k--", label=key)
+
+    logpanel(5, "KL(s)").plot(stats["kl_div_s"], "r", label="kl_s")
+
+    for i, key in ((6, "kl_div_s_anal"), (7, "kl_div_s_naive_anal")):
+        ax = plt.subplot(4, 4, i)
+        ax.set_ylabel("KL s dims" if i == 6 else "KL s (naive) dims")
+        ax.set_xlabel("epochs")
+        if stats[key]:
+            arr = np.asarray(stats[key])
+            for d in range(arr.shape[1]):
+                ax.plot(arr[:, d], label=str(d) if d < 10 else None)
+            ax.legend(fontsize=5)
+
+    ax = logpanel(8, "Variables")
+    for name in ["a", "b", "c", "beta_s", "gamma"]:
+        ax.plot(np.asarray(stats["var_" + name]), label=name)
+    ax.set_xlabel("epochs")
+    ax.legend(fontsize=6)
+
+    logpanel(9, "KL(pi)").plot(stats["kl_div_pi"], "y", label="kl_pi")
+
+    ax = plt.subplot(4, 4, 10)
+    ax.set_ylabel("KL pi dims")
+    ax.set_xlabel("epochs")
+    if stats["kl_div_pi_anal"]:
+        arr = np.asarray(stats["kl_div_pi_anal"])
+        for d in range(arr.shape[1]):
+            ax.plot(arr[:, d], label=str(d))
+        ax.legend(fontsize=6)
+
+    ax = logpanel(11, "nats")
+    ax.plot(stats["mse_o"], "k", label="H(o,P(o))")
+    n = max(len(stats["mse_o"]), 1)
+    ax.plot([0, n], [NLL_ACCEPTABLE] * 2, "r--", label="acceptable")
+    ax.plot([0, n], [NLL_PERFECT] * 2, "g", label="perfect")
+    ax.legend(fontsize=6)
+
+    ax = logpanel(12, "MSE_r")
+    ax.plot(stats["mse_r"])
+    ax.set_xlabel("iterations(x1000)")
+
+    ax = logpanel(13, "Total correlation")
+    ax.plot(stats["TC"], "k")
+    ax.set_xlabel("epochs")
+
+    ax = logpanel(14, "Deep reconstructions")
+    ax.plot(stats["deep_mse_o"], "r", label="mse visual")
+    ax.set_xlabel("epochs")
+    ax.legend(fontsize=6)
+
+    ax = logpanel(15, "omega")
+    om = np.asarray(stats["omega"])
+    om_std = np.asarray(stats["omega_std"])
+    ax.plot(om, "b", label="omega")
+    if len(om) == len(om_std):
+        ax.plot(om + om_std, "b--")
+        ax.plot(om - om_std, "b--")
+
+    fig.set_tight_layout(True)
+    plt.savefig(str(filename) + ".png")
+    plt.savefig(str(filename) + ".svg")
+    plt.close(fig)

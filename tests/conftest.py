@@ -9,7 +9,9 @@ Must run before the first ``import jax`` anywhere in the test process.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the session env presets JAX_PLATFORMS=axon (the TPU tunnel),
+# which must stay free for benchmarking and would serialize tests.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
