@@ -1,0 +1,426 @@
+"""Array-based batched MCTS planner (value = -G, priors = habit network).
+
+TPU-native rebuild of the reference's pointer-tree search
+(``/root/reference/src/mcts.py``). The reference expands Python ``Node``
+objects one at a time with batch-1-to-4 tensors — maximally host-bound
+(SURVEY.md §3.3). Here the tree is a fixed-budget *structure of arrays*
+(mctx-style) so hundreds of environments plan simultaneously on-device
+inside one jit:
+
+  - node slots are preallocated: every iteration expands exactly one leaf
+    per environment, so slot ids are deterministic (root children 1..4,
+    iteration i's children 5+4i..8+4i);
+  - selection walks are vectorized gathers under ``lax.while_loop``;
+  - backpropagation is one masked scatter-add along the recorded path;
+  - the reference's data-dependent early stops become masked freezes:
+    phase A (habit short-circuit, mcts.py:166-170) and phase B
+    (visit-threshold, mcts.py:176-181) mark an environment done and freeze
+    its tree, so the final action selection reads exactly the tree that
+    existed at decision time;
+  - the final visit-max walk and opposite-action pair trimming
+    (mcts.py:98-128) are fixed-shape array postprocesses.
+
+Semantics preserved per reference: UCB-like ``probs_for_selection``
+(mcts.py:39-47), expand seeding W = -G / N = 1 (mcts.py:64-86), habit-guided
+depth-3 simulations scored by trajectory G (torchmodel.py:354-393), and the
+exact trim rule including its drop-last-action quirk (mcts.py:110-127).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from deep_active_inference_mc_tpu.infer import efe
+from deep_active_inference_mc_tpu.infer.agent import ActiveInferenceAgent, Params
+
+
+@dataclasses.dataclass(frozen=True)
+class MCTSParams:
+    """Planner knobs (reference defaults, mcts.py:137-148). Static under jit."""
+
+    C: float = 1.0
+    threshold: float = 0.5
+    repeats: int = 300
+    simulation_repeats: int = 1
+    simulation_depth: int = 3
+    use_habit: bool = False
+    use_means: bool = True
+    using_prior_for_exploration: bool = False
+    samples: int = 1  # MC samples in expand when use_means=False
+    max_depth: int = 32  # selection-walk bound (trees this deep are degenerate)
+
+
+class MCTSResult(NamedTuple):
+    actions: jax.Array  # (B, max_depth) int32 trimmed action path, -1 padded
+    lengths: jax.Array  # (B,) path lengths (0 possible — reference quirk)
+    repeats_done: jax.Array  # (B,) iterations until decision
+    states_explored: jax.Array  # (B,) simulated states
+    root_N: jax.Array  # (B, 4) root visit counts
+    root_Qpi: jax.Array  # (B, 4) habit prior at root
+    all_paths: Optional[jax.Array]  # (R, B, max_depth) selection paths or None
+    all_paths_G: Optional[jax.Array]  # (R, B) simulation G per iteration
+
+
+@struct.dataclass
+class _Tree:
+    s: jax.Array  # (B, N, s_dim) node states
+    W: jax.Array  # (B, N, 4) summed -G per edge
+    N: jax.Array  # (B, N, 4) visit counts
+    Qpi: jax.Array  # (B, N, 4) habit prior per node
+    children: jax.Array  # (B, N, 4) child slot or -1
+    done: jax.Array  # (B,) decision frozen
+    repeats_done: jax.Array  # (B,)
+    states_explored: jax.Array  # (B,)
+
+
+def _probs_for_selection(W, N, Qpi, C, use_prior):
+    """Normalized Q + exploration bonus (mcts.py:39-47). Expanded nodes have
+    N >= 1 on every edge."""
+    Q = W / jnp.maximum(N, 1e-12)
+    Q = Q - jnp.min(Q, axis=-1, keepdims=True)
+    Q = Q / jnp.maximum(jnp.sum(Q, axis=-1, keepdims=True), 1e-12)
+    if use_prior:
+        return Q + C * Qpi / jnp.maximum(N, 1e-12)
+    return Q + C / jnp.maximum(N, 1e-12)
+
+
+def _calc_threshold(P):
+    """Decision confidence: max - mean (mcts.py:130-131)."""
+    return jnp.max(P, axis=-1) - jnp.mean(P, axis=-1)
+
+
+def _expand_G(
+    agent: ActiveInferenceAgent,
+    params: Params,
+    key: jax.Array,
+    s: jax.Array,
+    p: MCTSParams,
+):
+    """G for all 4 actions of each state: (B, 4) G and (B, 4, s_dim) next
+    states (mcts.py:64-86)."""
+    B = s.shape[0]
+    A = agent.pi_dim
+    s_r = jnp.repeat(s, A, axis=0)
+    pi_r = jnp.tile(agent.pi_one_hot, (B, 1))
+    if p.use_means:
+        G, _, ps_next, _ = efe.calculate_G_mean(agent, params, key, s_r, pi_r)
+    else:
+        G, _, ps_next, _, _ = efe.calculate_G(
+            agent, params, key, s_r, pi_r, samples=p.samples
+        )
+    return G.reshape(B, A), ps_next.reshape(B, A, -1)
+
+
+def _select(tree: _Tree, C: float, use_prior: bool, max_depth: int):
+    """Vectorized deterministic selection walk (mcts.py:49-62): from the
+    root, argmax of probs_for_selection into children until a node without
+    children. Returns (path_nodes, path_actions, path_len, leaf_idx); the
+    path records (node, action-taken) pairs root..parent-of-leaf."""
+    B, N_max, A = tree.W.shape
+    bidx = jnp.arange(B)
+
+    def cond(carry):
+        cur, depth, *_ = carry
+        has_children = jnp.any(
+            tree.children[bidx, cur, 0] >= 0
+        )  # any env still walking
+        return jnp.logical_and(depth < max_depth, has_children)
+
+    def body(carry):
+        cur, depth, nodes, acts, lens = carry
+        probs = _probs_for_selection(
+            tree.W[bidx, cur], tree.N[bidx, cur], tree.Qpi[bidx, cur],
+            C, use_prior,
+        )
+        a = jnp.argmax(probs, axis=-1).astype(jnp.int32)
+        child = tree.children[bidx, cur, a]
+        walking = child >= 0  # node had children -> we step into one
+        nodes = nodes.at[:, depth].set(jnp.where(walking, cur, -1))
+        acts = acts.at[:, depth].set(jnp.where(walking, a, -1))
+        lens = lens + walking.astype(jnp.int32)
+        cur = jnp.where(walking, child, cur)
+        return cur, depth + 1, nodes, acts, lens
+
+    cur0 = jnp.zeros((B,), jnp.int32)
+    nodes0 = jnp.full((B, max_depth), -1, jnp.int32)
+    acts0 = jnp.full((B, max_depth), -1, jnp.int32)
+    lens0 = jnp.zeros((B,), jnp.int32)
+    cur, _, nodes, acts, lens = jax.lax.while_loop(
+        cond, body, (cur0, jnp.asarray(0), nodes0, acts0, lens0)
+    )
+    return nodes, acts, lens, cur
+
+
+def _trim_path(path: jax.Array, length: jax.Array, pi_dim: int, max_depth: int):
+    """Opposite-action pair trimming (mcts.py:110-127), exact semantics
+    including the reference's `while i < len-1` bound (the final action is
+    examined only as the second element of a pair)."""
+    if pi_dim == 4:
+        def opposite(a, b):
+            return ((a == 0) & (b == 1)) | ((a == 1) & (b == 0)) | (
+                (a == 2) & (b == 3)
+            ) | ((a == 3) & (b == 2))
+    elif pi_dim == 3:
+        def opposite(a, b):
+            return ((a == 1) & (b == 2)) | ((a == 2) & (b == 1))
+    else:
+        raise ValueError(f"Unknown pi_dim {pi_dim}")
+
+    B = path.shape[0]
+
+    def step(carry, i):
+        out, out_len, skip = carry
+        a = path[:, i]
+        b = jnp.where(i + 1 < max_depth, path[:, jnp.minimum(i + 1, max_depth - 1)], -1)
+        in_range = i < length - 1  # reference bound: last action never emitted
+        is_pair = opposite(a, b) & in_range & ~skip
+        emit = in_range & ~skip & ~is_pair
+        out = jnp.where(
+            emit[:, None] & (jnp.arange(max_depth)[None, :] == out_len[:, None]),
+            a[:, None],
+            out,
+        )
+        out_len = out_len + emit.astype(jnp.int32)
+        skip = is_pair  # next position is the pair's second half: skip it
+        return (out, out_len, skip), None
+
+    out0 = jnp.full((B, max_depth), -1, jnp.int32)
+    (out, out_len, _), _ = jax.lax.scan(
+        step,
+        (out0, jnp.zeros((B,), jnp.int32), jnp.zeros((B,), bool)),
+        jnp.arange(max_depth),
+    )
+    return out, out_len
+
+
+def _action_selection(tree: _Tree, max_depth: int, pi_dim: int):
+    """Final visit-max walk (mcts.py:98-108) + pair trim."""
+    B, N_max, A = tree.N.shape
+    bidx = jnp.arange(B)
+
+    def cond(carry):
+        cur, depth, *_ = carry
+        return jnp.logical_and(
+            depth < max_depth, jnp.any(tree.children[bidx, cur, 0] >= 0)
+        )
+
+    def body(carry):
+        cur, depth, acts, lens = carry
+        a = jnp.argmax(tree.N[bidx, cur], axis=-1).astype(jnp.int32)
+        child = tree.children[bidx, cur, a]
+        walking = child >= 0
+        acts = acts.at[:, depth].set(jnp.where(walking, a, -1))
+        lens = lens + walking.astype(jnp.int32)
+        cur = jnp.where(walking, child, cur)
+        return cur, depth + 1, acts, lens
+
+    acts0 = jnp.full((B, max_depth), -1, jnp.int32)
+    _, _, acts, lens = jax.lax.while_loop(
+        cond,
+        body,
+        (jnp.zeros((B,), jnp.int32), jnp.asarray(0), acts0,
+         jnp.zeros((B,), jnp.int32)),
+    )
+    return _trim_path(acts, lens, pi_dim, max_depth)
+
+
+def active_inference_mcts(
+    agent: ActiveInferenceAgent,
+    params: Params,
+    key: jax.Array,
+    frames: jax.Array,
+    p: MCTSParams,
+    collect_paths: bool = False,
+) -> MCTSResult:
+    """Batched planner entry point (mcts.py:150-195).
+
+    Args:
+      frames: (B, H, W, C) current observations.
+      collect_paths: also return per-iteration selection paths + G (the
+        demo's visit-density mask input; memory ~R*B*max_depth).
+    """
+    B = frames.shape[0]
+    A = agent.pi_dim
+    N_max = 4 * (p.repeats + 1) + 2  # root + children per iteration + pad row
+    k_habit, k_root, k_loop, k_final = jax.random.split(key, 4)
+
+    # Root: posterior MEAN of the encoded frame (mcts.py:158-161).
+    qs0_mean, _ = agent.encode(params, frames)
+    _, root_Qpi, _ = agent.habit(params, qs0_mean)
+
+    s_dim = qs0_mean.shape[-1]
+    tree = _Tree(
+        s=jnp.zeros((B, N_max, s_dim)).at[:, 0].set(qs0_mean),
+        W=jnp.zeros((B, N_max, A)),
+        N=jnp.zeros((B, N_max, A)),
+        Qpi=jnp.zeros((B, N_max, A)).at[:, 0].set(root_Qpi),
+        children=jnp.full((B, N_max, A), -1, jnp.int32),
+        done=jnp.zeros((B,), bool),
+        repeats_done=jnp.zeros((B,), jnp.int32),
+        states_explored=jnp.zeros((B,), jnp.int32),
+    )
+
+    # ---- phase A: habit short-circuit (mcts.py:166-170) -------------------
+    if p.use_habit:
+        habit_conf = _calc_threshold(root_Qpi)
+        habit_done = habit_conf > p.threshold
+        habit_action = jax.random.categorical(
+            k_habit, jnp.log(root_Qpi + 1e-20), axis=-1
+        ).astype(jnp.int32)
+    else:
+        habit_done = jnp.zeros((B,), bool)
+        habit_action = jnp.zeros((B,), jnp.int32)
+
+    # ---- root expand (mcts.py:172) ----------------------------------------
+    G_root, ps_next = _expand_G(agent, params, k_root, qs0_mean, p)
+    tree = tree.replace(
+        W=tree.W.at[:, 0].set(-G_root),
+        N=tree.N.at[:, 0].set(1.0),
+        children=tree.children.at[:, 0].set(
+            jnp.broadcast_to(jnp.arange(1, A + 1, dtype=jnp.int32), (B, A))
+        ),
+        s=jax.lax.dynamic_update_slice(
+            tree.s, ps_next, (0, 1, 0)
+        ),
+    )
+
+    bidx = jnp.arange(B)
+    paths_buf = (
+        jnp.full((p.repeats, B, p.max_depth), -1, jnp.int32)
+        if collect_paths
+        else None
+    )
+    paths_G_buf = jnp.zeros((p.repeats, B)) if collect_paths else None
+
+    def iteration(i, carry):
+        tree, paths_buf, paths_G_buf = carry
+        k_i = jax.random.fold_in(k_loop, i)
+        k_exp, k_sim = jax.random.split(k_i)
+
+        # phase B check on the *current* tree (mcts.py:176-181).
+        N_root = tree.N[:, 0]
+        N_norm = N_root / jnp.maximum(N_root.sum(-1, keepdims=True), 1e-12)
+        newly_done = (_calc_threshold(N_norm) > p.threshold) & ~tree.done
+        done = tree.done | newly_done
+        active = ~done
+
+        # select (mcts.py:183).
+        nodes, acts, lens, leaf = _select(
+            tree, p.C, p.using_prior_for_exploration, p.max_depth
+        )
+
+        # expand leaf (mcts.py:184): slots are deterministic.
+        base = A + 1 + A * i
+        leaf_s = tree.s[bidx, leaf]
+        G_leaf, ps_next = _expand_G(agent, params, k_exp, leaf_s, p)
+        child_ids = jnp.broadcast_to(
+            base + jnp.arange(A, dtype=jnp.int32), (B, A)
+        )
+        mask = active[:, None]
+        new_W = tree.W.at[bidx, leaf].set(
+            jnp.where(mask, tree.W[bidx, leaf] - G_leaf, tree.W[bidx, leaf])
+        )
+        new_N = tree.N.at[bidx, leaf].set(
+            jnp.where(mask, tree.N[bidx, leaf] + 1.0, tree.N[bidx, leaf])
+        )
+        new_children = tree.children.at[bidx, leaf].set(
+            jnp.where(mask, child_ids, tree.children[bidx, leaf])
+        )
+        old_slots = jax.lax.dynamic_slice(
+            tree.s, (0, base, 0), (B, A, tree.s.shape[-1])
+        )
+        new_s = jax.lax.dynamic_update_slice(
+            tree.s,
+            jnp.where(mask[:, :, None], ps_next, old_slots),
+            (0, base, 0),
+        )
+
+        # simulate (mcts.py:185-188): habit rollouts from the leaf,
+        # averaged over simulation_repeats (batch-folded).
+        leaf_rep = jnp.repeat(leaf_s, p.simulation_repeats, axis=0)
+        G_sim_r, _, Qpi_leaf_r = efe.mcts_step_simulate(
+            agent, params, k_sim, leaf_rep, p.simulation_depth, use_means=False
+        )
+        G_sim = G_sim_r.reshape(B, p.simulation_repeats).mean(-1)
+        Qpi_leaf = Qpi_leaf_r.reshape(B, p.simulation_repeats, A)[:, 0]
+        new_Qpi = tree.Qpi.at[bidx, leaf].set(
+            jnp.where(mask, Qpi_leaf, tree.Qpi[bidx, leaf])
+        )
+
+        # backpropagate along [root .. parent-of-leaf] (mcts.py:88-96,189):
+        # one masked scatter-add. Padded entries target the pad row N_max-1.
+        valid = (nodes >= 0) & active[:, None]
+        node_t = jnp.where(valid, nodes, N_max - 1)
+        act_t = jnp.where(valid, acts, 0)
+        b_t = jnp.broadcast_to(bidx[:, None], nodes.shape)
+        dG = jnp.where(valid, -G_sim[:, None], 0.0)
+        dN = valid.astype(jnp.float32)
+        new_W = new_W.at[b_t, node_t, act_t].add(dG)
+        new_N = new_N.at[b_t, node_t, act_t].add(dN)
+
+        tree = _Tree(
+            s=new_s,
+            W=new_W,
+            N=new_N,
+            Qpi=new_Qpi,
+            children=new_children,
+            done=done,
+            repeats_done=tree.repeats_done + active.astype(jnp.int32),
+            states_explored=tree.states_explored
+            + active.astype(jnp.int32)
+            * p.simulation_depth
+            * p.simulation_repeats,
+        )
+        if collect_paths:
+            paths_buf = paths_buf.at[i].set(
+                jnp.where(active[:, None], acts, -1)
+            )
+            paths_G_buf = paths_G_buf.at[i].set(G_sim)
+        return tree, paths_buf, paths_G_buf
+
+    tree, paths_buf, paths_G_buf = jax.lax.fori_loop(
+        0, p.repeats, iteration, (tree, paths_buf, paths_G_buf)
+    )
+
+    actions, lengths = _action_selection(tree, p.max_depth, A)
+
+    # phase-A overrides: single habit action, zero search.
+    if p.use_habit:
+        actions = jnp.where(
+            habit_done[:, None],
+            jnp.full_like(actions, -1).at[:, 0].set(habit_action),
+            actions,
+        )
+        lengths = jnp.where(habit_done, 1, lengths)
+        tree = tree.replace(
+            repeats_done=jnp.where(habit_done, 0, tree.repeats_done),
+            states_explored=jnp.where(habit_done, 0, tree.states_explored),
+        )
+
+    return MCTSResult(
+        actions=actions,
+        lengths=lengths,
+        repeats_done=tree.repeats_done,
+        states_explored=tree.states_explored,
+        root_N=tree.N[:, 0],
+        root_Qpi=root_Qpi,
+        all_paths=paths_buf,
+        all_paths_G=paths_G_buf,
+    )
+
+
+def make_jit_planner(
+    agent: ActiveInferenceAgent, p: MCTSParams, collect_paths: bool = False
+):
+    """Compile the planner once for a given (agent, params-structure)."""
+    return jax.jit(
+        functools.partial(
+            active_inference_mcts, agent, p=p, collect_paths=collect_paths
+        )
+    )

@@ -1,0 +1,231 @@
+"""MCTS planner tests.
+
+The core test validates the array-based batched planner against a direct
+pointer-tree implementation of the reference semantics
+(/root/reference/src/mcts.py) on identical *deterministic mock* model
+functions — same selection walks, expansion seeding, backpropagation and
+final trimmed action path.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deep_active_inference_mc_tpu.plan import mcts as amcts
+from deep_active_inference_mc_tpu.plan.mcts import MCTSParams
+
+S_DIM = 6
+A = 4
+
+# Deterministic mock dynamics: G depends on state+action; next state drifts.
+W_G = np.linspace(-0.5, 0.8, S_DIM).astype(np.float32)
+C_A = np.asarray([0.3, -0.2, 0.05, -0.4], np.float32)
+D_A = (np.arange(A * S_DIM).reshape(A, S_DIM).astype(np.float32) / (A * S_DIM) - 0.4)
+
+
+def mock_G_np(s, a):
+    return float(np.dot(s, W_G) + C_A[a])
+
+
+def mock_next_np(s, a):
+    return s * 0.9 + D_A[a]
+
+
+def mock_sim_np(s):
+    return float(np.sum(s) * 0.7)
+
+
+def mock_qpi_np(s):
+    e = np.exp(s[:A] - s[:A].max())
+    return e / e.sum()
+
+
+# ---- jax mocks plugged into the array planner ---------------------------
+
+
+def mock_calculate_G_mean(agent, params, key, s0, pi0):
+    G = s0 @ jnp.asarray(W_G) + pi0 @ jnp.asarray(C_A)
+    ps_next = s0 * 0.9 + pi0 @ jnp.asarray(D_A)
+    return G, None, ps_next, None
+
+
+def mock_step_simulate(agent, params, key, leaf_s, depth, use_means=False):
+    G = jnp.sum(leaf_s, -1) * 0.7
+    e = jnp.exp(leaf_s[:, :A] - leaf_s[:, :A].max(-1, keepdims=True))
+    qpi = e / e.sum(-1, keepdims=True)
+    return G, None, qpi
+
+
+class MockAgent:
+    pi_dim = A
+    pi_one_hot = jnp.eye(A)
+
+    def encode(self, params, frames):
+        # "frames" are already states in the mock.
+        return frames, None
+
+    def habit(self, params, s):
+        e = jnp.exp(s[:, :A] - s[:, :A].max(-1, keepdims=True))
+        q = e / e.sum(-1, keepdims=True)
+        return None, q, jnp.log(q + 1e-20)
+
+
+# ---- pointer-tree implementation of the reference algorithm --------------
+
+
+class RefNode:
+    def __init__(self, s, C, use_prior):
+        self.s = s
+        self.W = np.zeros(A)
+        self.N = np.zeros(A)
+        self.Qpi = np.zeros(A)
+        self.children = [None] * A
+        self.C = C
+        self.use_prior = use_prior
+        self.in_progress = -1
+
+    def probs(self):
+        Q = self.W / self.N
+        Q = Q - Q.min()
+        Q = Q / Q.sum()
+        if self.use_prior:
+            return Q + self.C * self.Qpi / self.N
+        return Q + self.C / self.N
+
+    def expand(self):
+        G = np.asarray([mock_G_np(self.s, a) for a in range(A)])
+        self.W -= G
+        self.N += 1.0
+        for a in range(A):
+            self.children[a] = RefNode(
+                mock_next_np(self.s, a), self.C, self.use_prior
+            )
+
+
+def ref_mcts(s_root, repeats, threshold, C=1.0, use_prior=False):
+    root = RefNode(np.asarray(s_root, np.float64), C, use_prior)
+    root.Qpi = mock_qpi_np(root.s)
+    root.expand()
+    repeats_done = repeats
+    for rep in range(repeats):
+        Nn = root.N / root.N.sum()
+        if Nn.max() - Nn.mean() > threshold:
+            repeats_done = rep
+            break
+        # select
+        path = []
+        node = root
+        node.in_progress = int(np.argmax(node.probs()))
+        path.append((node, node.in_progress))
+        node = node.children[node.in_progress]
+        while None not in node.children:
+            node.in_progress = int(np.argmax(node.probs()))
+            path.append((node, node.in_progress))
+            node = node.children[node.in_progress]
+        leaf = node
+        leaf.expand()
+        G_sim = mock_sim_np(leaf.s)
+        leaf.Qpi = mock_qpi_np(leaf.s)
+        for n, a in path:
+            n.W[a] -= G_sim
+            n.N[a] += 1
+    # action selection
+    path = []
+    node = root
+    while None not in node.children:
+        a = int(np.argmax(node.N))
+        path.append(a)
+        node = node.children[a]
+    # trim
+    trimmed, i = [], 0
+    while i < len(path) - 1:
+        pair = (path[i], path[i + 1])
+        if pair in [(0, 1), (1, 0), (2, 3), (3, 2)]:
+            i += 2
+        else:
+            trimmed.append(path[i])
+            i += 1
+    return trimmed, repeats_done, root.N
+
+
+@pytest.mark.parametrize("use_prior", [False, True])
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_array_mcts_matches_reference_tree(monkeypatch, use_prior, seed):
+    monkeypatch.setattr(amcts.efe, "calculate_G_mean", mock_calculate_G_mean)
+    monkeypatch.setattr(amcts.efe, "mcts_step_simulate", mock_step_simulate)
+
+    rng = np.random.RandomState(seed)
+    roots = rng.randn(3, S_DIM).astype(np.float32) * 0.5
+    p = MCTSParams(
+        repeats=12, threshold=0.2, use_means=True, max_depth=16,
+        using_prior_for_exploration=use_prior,
+    )
+    res = amcts.active_inference_mcts(
+        MockAgent(), {}, jax.random.key(0), jnp.asarray(roots), p
+    )
+    for b in range(3):
+        ref_path, ref_reps, ref_rootN = ref_mcts(
+            roots[b], p.repeats, p.threshold, p.C, use_prior
+        )
+        got_len = int(res.lengths[b])
+        got_path = list(np.asarray(res.actions[b][:got_len]))
+        assert got_path == ref_path, (b, got_path, ref_path)
+        assert int(res.repeats_done[b]) == ref_reps, (b, res.repeats_done[b], ref_reps)
+        np.testing.assert_allclose(
+            np.asarray(res.root_N[b]), ref_rootN, rtol=1e-4
+        )
+
+
+def test_trim_path_semantics():
+    path = jnp.asarray([[0, 1, 2, 2, 3, -1, -1, -1]], jnp.int32)
+    out, n = amcts._trim_path(path, jnp.asarray([5]), 4, 8)
+    # (0,1) trimmed; 2 kept; (2,3) trimmed -> [2]; last action only consumed
+    # as pair-half (reference's while i < len-1 bound).
+    assert int(n[0]) == 1
+    assert list(np.asarray(out[0][:1])) == [2]
+
+    path = jnp.asarray([[2, 3, 3, 2, 0, 0, -1, -1]], jnp.int32)
+    out, n = amcts._trim_path(path, jnp.asarray([6]), 4, 8)
+    # (2,3) pair, (3,2) pair, then 0 kept, last 0 dropped by the bound.
+    assert int(n[0]) == 1
+    assert list(np.asarray(out[0][:1])) == [0]
+
+    path = jnp.asarray([[1, -1, -1, -1, -1, -1, -1, -1]], jnp.int32)
+    out, n = amcts._trim_path(path, jnp.asarray([1]), 4, 8)
+    assert int(n[0]) == 0  # single action yields empty plan (reference quirk)
+
+
+def test_phase_a_habit_shortcircuit(monkeypatch):
+    monkeypatch.setattr(amcts.efe, "calculate_G_mean", mock_calculate_G_mean)
+    monkeypatch.setattr(amcts.efe, "mcts_step_simulate", mock_step_simulate)
+    # A root state whose habit dist is extremely peaked on action 2.
+    root = np.zeros((1, S_DIM), np.float32)
+    root[0, 2] = 25.0
+    p = MCTSParams(repeats=6, threshold=0.5, use_habit=True, max_depth=8)
+    res = amcts.active_inference_mcts(
+        MockAgent(), {}, jax.random.key(3), jnp.asarray(root), p
+    )
+    assert int(res.lengths[0]) == 1
+    assert int(res.actions[0, 0]) == 2
+    assert int(res.repeats_done[0]) == 0
+    assert int(res.states_explored[0]) == 0
+
+
+def test_real_agent_end_to_end_planner():
+    """The planner must run with the real agent nets under jit."""
+    from deep_active_inference_mc_tpu.infer.agent import ActiveInferenceAgent
+
+    agent = ActiveInferenceAgent(s_dim=10, pi_dim=4)
+    params = agent.init(jax.random.key(0))
+    frames = jax.random.uniform(jax.random.key(1), (2, 64, 64, 1))
+    p = MCTSParams(repeats=5, simulation_depth=2, max_depth=8)
+    planner = amcts.make_jit_planner(agent, p, collect_paths=True)
+    res = planner(params, jax.random.key(2), frames)
+    assert res.actions.shape == (2, 8)
+    assert res.all_paths.shape == (5, 2, 8)
+    assert res.all_paths_G.shape == (5, 2)
+    assert np.all(np.asarray(res.lengths) >= 0)
+    assert np.all(np.asarray(res.root_N).sum(-1) >= 4)
