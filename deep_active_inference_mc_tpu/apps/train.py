@@ -32,6 +32,7 @@ from deep_active_inference_mc_tpu.ops import math as m
 from deep_active_inference_mc_tpu.train import loop as train_loop
 from deep_active_inference_mc_tpu.train.evaluate import make_jit_eval
 from deep_active_inference_mc_tpu.utils import checkpoint as ckpt
+from deep_active_inference_mc_tpu.utils import profiling
 from deep_active_inference_mc_tpu.utils import stats as stats_lib
 from deep_active_inference_mc_tpu.viz.generate_traversals import generate_traversals
 from deep_active_inference_mc_tpu.viz.reconstructions_plot import reconstructions_plot
@@ -42,6 +43,8 @@ def main(argv=None):
     parser = argparse.ArgumentParser(add_help=False)
     parser.add_argument("-r", "--resume", action="store_true")
     parser.add_argument("-b", "--batch", type=int, default=None)
+    parser.add_argument("--profile_dir", type=str, default=None,
+                        help="Write a jax.profiler trace of epoch 1 here.")
     known, rest = parser.parse_known_args(argv)
     overrides = {"batch": known.batch} if known.batch else {}
     cfg = Config.from_args(rest, **overrides)
@@ -87,8 +90,11 @@ def main(argv=None):
         )
 
         key, k_epoch, k_eval = jax.random.split(key, 3)
-        state, train_metrics = epoch_fn(state, k_epoch)
-        train_metrics = jax.tree.map(float, jax.device_get(train_metrics))
+        epoch_t0 = time.time()
+        with profiling.trace(known.profile_dir if epoch == start_epoch else None):
+            state, train_metrics = epoch_fn(state, k_epoch)
+            train_metrics = jax.tree.map(float, jax.device_get(train_metrics))
+        env_sps = cfg.batch * cfg.repeats * cfg.rounds / (time.time() - epoch_t0)
 
         if epoch % cfg.save_every == 0:
             ckpt.save_all(folder_chp, state, stats, key, script_file=__file__)
@@ -148,6 +154,7 @@ def main(argv=None):
             f"omega: {stats['omega'][-1]:.2f}+-{stats['omega_std'][-1]:.2f}, "
             f"KLpi: {stats['kl_div_pi'][-1]:.2f}, TC: {stats['TC'][-1]:.2f}, "
             f"score: {stats['score'][-1]:.2f}, "
+            f"env_steps/s: {env_sps:.2e}, "
             f"dur. {time.time() - start_time:.2f}s",
             flush=True,
         )

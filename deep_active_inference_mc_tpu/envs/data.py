@@ -1,0 +1,116 @@
+"""Batch builders / data pipeline — rebuild of ``/root/reference/src/util.py``.
+
+Every builder is a pure jit-able function over the batched environment; the
+reference's per-item Python loops (util.py:6-44) become one vectorized pass.
+
+  make_batch_active_inference   <- make_batch_dsprites_active_inference
+                                   (util.py:55-80): the on-policy generator —
+                                   EFE over all actions, softmax(-G, T=10),
+                                   sample, step with action-repeat.
+  make_batch_random             <- make_batch_dsprites_random (util.py:6-25):
+                                   random-policy transitions + ground truth.
+  make_batch_random_reward_transitions
+                                <- util.py:27-44: the reward-imagination
+                                   probe set (objects pinned at the scoring
+                                   edge, pushed 'up').
+  compare_reward                <- util.py:82-85: reward-strip MSE.
+
+``softmax_multi_with_log`` lives in ``ops.math`` (util.py:46-53).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from deep_active_inference_mc_tpu.config import Config
+from deep_active_inference_mc_tpu.envs import dsprites as env_lib
+from deep_active_inference_mc_tpu.infer import efe
+from deep_active_inference_mc_tpu.infer.agent import ActiveInferenceAgent, Params
+from deep_active_inference_mc_tpu.ops import math as m
+
+
+def make_batch_active_inference(
+    agent: ActiveInferenceAgent,
+    cfg: Config,
+    params: Params,
+    key: jax.Array,
+    env: env_lib.EnvState,
+    lut: jax.Array,
+):
+    """On-policy data generation (util.py:55-80 + train.py:107).
+
+    Returns (env', o0, o1, pi0 one-hot, log_Ppi)."""
+    k_rand, k_G, k_act, k_step = jax.random.split(key, 4)
+    env = env_lib.randomize(k_rand, env)
+    o0 = env_lib.render(lut, env)
+
+    # EFE of all actions: the reference tiles o0 4x against the one-hot
+    # action matrix (util.py:57-62); identical row layout (action fastest).
+    B = o0.shape[0]
+    o0_rep = jnp.repeat(o0, agent.pi_dim, axis=0)
+    pi_rep = jnp.tile(agent.pi_one_hot, (B, 1))
+    sum_G, _, _ = efe.calculate_G_repeated(
+        agent, params, k_G, o0_rep, pi_rep,
+        steps=cfg.deepness, calc_mean=True, samples=cfg.samples,
+    )
+    Ppi, log_Ppi = m.softmax_multi_with_log(
+        -sum_G, agent.pi_dim, temperature=cfg.temperature
+    )
+    actions = jax.random.categorical(k_act, jnp.log(Ppi + 1e-20), axis=-1)
+    pi0 = jax.nn.one_hot(actions, agent.pi_dim, dtype=jnp.float32)
+
+    env, _ = env_lib.step_repeated(k_step, env, actions, repeats=cfg.repeats)
+    o1 = env_lib.render(lut, env)
+    return env, o0, o1, pi0, log_Ppi
+
+
+def make_batch_random(
+    cfg: Config, key: jax.Array, env: env_lib.EnvState, lut: jax.Array
+):
+    """Random-policy transitions with ground truth (util.py:6-25): fresh
+    randomized envs, Ppi ~ normalized U(0,1)^4, one sampled action,
+    ``repeats`` env steps.
+
+    Returns (env', o0, o1, pi0 one-hot, log_Ppi, S0_real, S1_real)."""
+    k_rand, k_ppi, k_act, k_step = jax.random.split(key, 4)
+    env = env_lib.randomize(k_rand, env)
+    o0 = env_lib.render(lut, env)
+    S0_real = env_lib.ground_truth_factors(env)
+
+    ppi = jax.random.uniform(k_ppi, (env.batch, 4))
+    ppi = ppi / jnp.sum(ppi, axis=-1, keepdims=True)
+    actions = jax.random.categorical(k_act, jnp.log(ppi), axis=-1)
+    pi0 = jax.nn.one_hot(actions, 4, dtype=jnp.float32)
+
+    env, _ = env_lib.step_repeated(k_step, env, actions, repeats=cfg.repeats)
+    o1 = env_lib.render(lut, env)
+    S1_real = env_lib.ground_truth_factors(env)
+    return env, o0, o1, pi0, jnp.log(ppi + 1e-20), S0_real, S1_real
+
+
+def make_batch_random_reward_transitions(
+    cfg: Config, key: jax.Array, lut: jax.Array, size: int
+):
+    """Probe set testing whether imagination predicts reward consequences
+    (util.py:27-44): randomized envs pinned at posY=31, pushed 'up'.
+
+    Returns (o0, o1, pi0 one-hot)."""
+    k_env, k_step = jax.random.split(key)
+    env = env_lib.reset(k_env, size)
+    env = env_lib.randomize(k_env, env)
+    env = env.replace(latents=env.latents.at[:, 5].set(31))
+    o0 = env_lib.render(lut, env)
+
+    actions = jnp.zeros((size,), jnp.int32)  # 'up'
+    env, _ = env_lib.step_repeated(k_step, env, actions, repeats=cfg.repeats)
+    o1 = env_lib.render(lut, env)
+    pi0 = jax.nn.one_hot(actions, 4, dtype=jnp.float32)
+    return o0, o1, pi0
+
+
+def compare_reward(o1: jax.Array, po1: jax.Array) -> jax.Array:
+    """MSE restricted to the 3-row reward strip (util.py:82-85)."""
+    return jnp.mean(jnp.square(o1[:, 0:3] - po1[:, 0:3]))

@@ -28,6 +28,7 @@ import optax
 from flax import struct
 
 from deep_active_inference_mc_tpu.config import Config
+from deep_active_inference_mc_tpu.envs import data as data_lib
 from deep_active_inference_mc_tpu.envs import dsprites as env_lib
 from deep_active_inference_mc_tpu.infer.precision import PrecisionState
 from deep_active_inference_mc_tpu.models.causal import StructuralCausalModel
@@ -55,18 +56,13 @@ def compute_loss_causal(model, params, x_recon, o1, s, precision):
 def make_causal_batch(
     cfg: Config, key: jax.Array, env: env_lib.EnvState, lut: jax.Array
 ):
-    """Random-policy transition batch (o0, o1, pi0, log_Ppi)."""
-    k_rand, k_ppi, k_act, k_step = jax.random.split(key, 4)
-    env = env_lib.randomize(k_rand, env)
-    o0 = env_lib.render(lut, env)
-    S0_real = env_lib.ground_truth_factors(env)
-    ppi = jax.random.uniform(k_ppi, (env.batch, 4))
-    ppi = ppi / jnp.sum(ppi, axis=-1, keepdims=True)
-    actions = jax.random.categorical(k_act, jnp.log(ppi), axis=-1)
-    pi0 = jax.nn.one_hot(actions, 4, dtype=jnp.float32)
-    env, _ = env_lib.step_repeated(k_step, env, actions, repeats=cfg.repeats)
-    o1 = env_lib.render(lut, env)
-    return env, o0, o1, pi0, jnp.log(ppi + 1e-20), S0_real
+    """`make_batch_dsprites_causal_inference` (train_causal.py:9,89 —
+    missing from the reference): random-policy transitions, same contract
+    as the active-inference generator."""
+    env, o0, o1, pi0, log_Ppi, S0_real, _ = data_lib.make_batch_random(
+        cfg, key, env, lut
+    )
+    return env, o0, o1, pi0, log_Ppi, S0_real
 
 
 def create_causal_state(

@@ -4,47 +4,22 @@ Rebuild of the reference's epoch-end eval block
 (``/root/reference/train.py:136-186``): a fresh random-policy batch scored by
 all three losses with fixed omega = a/2 + d, ground-truth factors for
 disentanglement metrics, and the reward-transition imagination probe
-(``/root/reference/src/util.py:6-44,82-85``).
+(``/root/reference/src/util.py:6-44,82-85`` via ``envs.data``).
 """
 
 from __future__ import annotations
 
-import functools
-from typing import Dict, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp
 
 from deep_active_inference_mc_tpu.config import Config
+from deep_active_inference_mc_tpu.envs import data as data_lib
 from deep_active_inference_mc_tpu.envs import dsprites as env_lib
 from deep_active_inference_mc_tpu.infer.agent import ActiveInferenceAgent, Params
 from deep_active_inference_mc_tpu.infer.precision import OmegaParams, PrecisionState
 from deep_active_inference_mc_tpu.train import losses
-
-
-def make_random_policy_batch(
-    cfg: Config, key: jax.Array, lut: jax.Array, size: int
-):
-    """Random-policy transitions with ground truth (util.py:6-25):
-    per item a fresh randomized env, a random categorical policy
-    Ppi ~ normalized U(0,1)^4, one action, ``repeats`` env steps.
-
-    Returns (o0, o1, pi0 one-hot, S0_real, S1_real)."""
-    k_env, k_ppi, k_act, k_step = jax.random.split(key, 4)
-    env = env_lib.reset(k_env, size)
-    env = env_lib.randomize(k_env, env)
-    o0 = env_lib.render(lut, env)
-    S0_real = env_lib.ground_truth_factors(env)
-
-    ppi = jax.random.uniform(k_ppi, (size, 4))
-    ppi = ppi / jnp.sum(ppi, axis=-1, keepdims=True)
-    actions = jax.random.categorical(k_act, jnp.log(ppi), axis=-1)
-    pi0 = jax.nn.one_hot(actions, 4, dtype=jnp.float32)
-
-    env, _ = env_lib.step_repeated(k_step, env, actions, repeats=cfg.repeats)
-    o1 = env_lib.render(lut, env)
-    S1_real = env_lib.ground_truth_factors(env)
-    return o0, o1, pi0, S0_real, S1_real
 
 
 def eval_losses(
@@ -108,22 +83,13 @@ def reward_transition_probe(
     size: int,
 ):
     """Does imagination predict the *reward consequence* of a scoring move?
-    (util.py:27-44, train.py:181-186.) Objects are pinned at posY=31 (the
-    scoring edge), pushed 'up', and the imagined next frame's reward strip is
-    compared to reality by MSE (compare_reward, util.py:82-85)."""
-    k_env, k_step, k_im = jax.random.split(key, 3)
-    env = env_lib.reset(k_env, size)
-    env = env_lib.randomize(k_env, env)
-    env = env.replace(latents=env.latents.at[:, 5].set(31))
-    o0 = env_lib.render(lut, env)
-
-    actions = jnp.zeros((size,), jnp.int32)  # 'up'
-    env, _ = env_lib.step_repeated(k_step, env, actions, repeats=cfg.repeats)
-    o1 = env_lib.render(lut, env)
-
-    pi0 = jax.nn.one_hot(actions, 4, dtype=jnp.float32)
+    (train.py:181-186.)"""
+    k_batch, k_im = jax.random.split(key)
+    o0, o1, pi0 = data_lib.make_batch_random_reward_transitions(
+        cfg, k_batch, lut, size
+    )
     po1 = agent.imagine_future_from_o(params, k_im, o0, pi0)
-    mse_r = jnp.mean(jnp.square(o1[:, 0:3] - po1[:, 0:3]))
+    mse_r = data_lib.compare_reward(o1, po1)
     return mse_r, o0, o1, po1
 
 
@@ -132,9 +98,10 @@ def make_jit_eval(agent: ActiveInferenceAgent, cfg: Config, lut: jax.Array):
 
     @jax.jit
     def evaluate(params, precision, key):
-        k_batch, k_loss, k_probe = jax.random.split(key, 3)
-        o0, o1, pi0, S0_real, _ = make_random_policy_batch(
-            cfg, k_batch, lut, cfg.test_size
+        k_env, k_batch, k_loss, k_probe = jax.random.split(key, 4)
+        env = env_lib.reset(k_env, cfg.test_size)
+        _, o0, o1, pi0, _, S0_real, _ = data_lib.make_batch_random(
+            cfg, k_batch, env, lut
         )
         metrics = eval_losses(
             agent, cfg, params, precision, k_loss, o0, o1, pi0

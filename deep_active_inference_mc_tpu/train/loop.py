@@ -31,10 +31,9 @@ from flax import struct
 
 from deep_active_inference_mc_tpu.config import Config
 from deep_active_inference_mc_tpu.envs import dsprites as env_lib
-from deep_active_inference_mc_tpu.infer import efe
+from deep_active_inference_mc_tpu.envs.data import make_batch_active_inference
 from deep_active_inference_mc_tpu.infer.agent import ActiveInferenceAgent, Params
 from deep_active_inference_mc_tpu.infer.precision import OmegaParams, PrecisionState
-from deep_active_inference_mc_tpu.ops import math as m
 from deep_active_inference_mc_tpu.train import losses
 
 stop = jax.lax.stop_gradient
@@ -75,42 +74,6 @@ def create_train_state(
     )
 
 
-def generate_on_policy_batch(
-    agent: ActiveInferenceAgent,
-    cfg: Config,
-    params: Params,
-    key: jax.Array,
-    env: env_lib.EnvState,
-    lut: jax.Array,
-):
-    """On-policy data generation (util.py:55-80 + train.py:107).
-
-    Returns (env', o0, o1, pi0 one-hot, log_Ppi)."""
-    k_rand, k_G, k_act, k_step = jax.random.split(key, 4)
-    env = env_lib.randomize(k_rand, env)
-    o0 = env_lib.render(lut, env)
-
-    # EFE of all 4 actions: the reference tiles o0 4x and calls
-    # calculate_G_repeated (util.py:57-62); our batched form is identical
-    # row layout (action fastest).
-    B = o0.shape[0]
-    o0_rep = jnp.repeat(o0, agent.pi_dim, axis=0)
-    pi_rep = jnp.tile(agent.pi_one_hot, (B, 1))
-    sum_G, _, _ = efe.calculate_G_repeated(
-        agent, params, k_G, o0_rep, pi_rep,
-        steps=cfg.deepness, calc_mean=True, samples=cfg.samples,
-    )
-    Ppi, log_Ppi = m.softmax_multi_with_log(
-        -sum_G, agent.pi_dim, temperature=cfg.temperature
-    )  # (B, 4)
-    actions = jax.random.categorical(k_act, jnp.log(Ppi + 1e-20), axis=-1)
-    pi0 = jax.nn.one_hot(actions, agent.pi_dim, dtype=jnp.float32)
-
-    env, _ = env_lib.step_repeated(k_step, env, actions, repeats=cfg.repeats)
-    o1 = env_lib.render(lut, env)
-    return env, o0, o1, pi0, log_Ppi
-
-
 def train_round(
     agent: ActiveInferenceAgent,
     cfg: Config,
@@ -123,7 +86,7 @@ def train_round(
     """One full training round (data gen + 3 staged updates), jit-able."""
     k_data, k_qs0, k_mid, k_down = jax.random.split(key, 4)
 
-    env, o0, o1, pi0, log_Ppi = generate_on_policy_batch(
+    env, o0, o1, pi0, log_Ppi = make_batch_active_inference(
         agent, cfg, state.params, k_data, state.env, lut
     )
     params = state.params
