@@ -64,7 +64,7 @@ def main(argv=None):
         start_epoch = len(stats["F"]) + 1
         print(f"Resumed from {folder_chp} at epoch {start_epoch}")
 
-    round_fn = causal_lib.make_jit_causal_round(model, cfg, opt, lut)
+    epoch_fn = causal_lib.make_jit_causal_epoch(model, cfg, opt, lut, cfg.rounds)
     eval_fn = causal_lib.make_jit_causal_eval(model, cfg, lut)
     decode_fn = jax.jit(
         lambda p, s: model.apply(
@@ -80,9 +80,8 @@ def main(argv=None):
                 cfg.gamma_max,
             )
         )
-        for i in range(cfg.rounds):
-            key, k_round = jax.random.split(key)
-            state, train_metrics = round_fn(state, k_round)
+        key, k_epoch = jax.random.split(key)
+        state, train_metrics = epoch_fn(state, k_epoch)
 
         if epoch % cfg.save_every == 0:
             ckpt.save_all(folder_chp, state, stats, key, script_file=__file__)

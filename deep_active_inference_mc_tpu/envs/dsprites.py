@@ -176,9 +176,27 @@ def step_repeated(
     return state, done
 
 
+def _pallas_render_eligible(batch: int) -> bool:
+    """Use the fused Pallas kernel on a single TPU chip with block-aligned
+    batches; the XLA shift-matrix path covers CPU and multi-device meshes
+    (pallas_call has no SPMD partitioning rule)."""
+    from deep_active_inference_mc_tpu.ops.pallas import render as prender
+
+    return (
+        jax.default_backend() == "tpu"
+        and jax.device_count() == 1
+        and batch % prender.BLK == 0
+    )
+
+
 def render(lut: jax.Array, state: EnvState) -> jax.Array:
     """(B, 64, 64, 1) float32 frames: sprite + reward strip
-    (game_environment.py:44-66)."""
+    (game_environment.py:44-66). Dispatches to the fused Pallas kernel
+    where eligible (bit-identical outputs; tests/test_pallas_render.py)."""
+    if _pallas_render_eligible(state.latents.shape[0]):
+        from deep_active_inference_mc_tpu.ops.pallas import render as prender
+
+        return prender.render_frames(state.latents, state.last_r)
     frames = raster.render_sprites(lut, state.latents)
     return raster.paint_reward_strip(frames, state.last_r)
 

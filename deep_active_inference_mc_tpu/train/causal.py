@@ -81,50 +81,82 @@ def create_causal_state(
     return state, opt
 
 
+def causal_round(
+    model: StructuralCausalModel,
+    cfg: Config,
+    opt: optax.GradientTransformation,
+    state: CausalTrainState,
+    key: jax.Array,
+    lut: jax.Array,
+) -> Tuple[CausalTrainState, Dict[str, jax.Array]]:
+    """One fused round: batch gen + single Adam update (train_causal.py:87-97,
+    intended). Plain function; jit via the make_* wrappers."""
+    env, o0, o1, pi0, log_Ppi, _ = make_causal_batch(cfg, key, state.env, lut)
+
+    def loss_fn(p):
+        x_recon, s = model.apply({"params": p}, o0)
+        F, kl, om = compute_loss_causal(
+            model, p, x_recon, o1, s, state.precision
+        )
+        return F, (kl, om, x_recon, s)
+
+    (F, (kl, om, x_recon, s)), grads = jax.value_and_grad(
+        loss_fn, has_aux=True
+    )(state.params)
+    updates, opt_state = opt.update(grads, state.opt_state, state.params)
+    params = optax.apply_updates(state.params, updates)
+    metrics = {
+        "F": F,
+        "mse_o": jnp.mean(jnp.square(x_recon - o1)),
+        "kl_div_s": kl,
+        "omega": om,
+    }
+    new_state = CausalTrainState(
+        params=params,
+        opt_state=opt_state,
+        precision=state.precision,
+        env=env,
+    )
+    return new_state, metrics
+
+
 def make_jit_causal_round(
     model: StructuralCausalModel,
     cfg: Config,
     opt: optax.GradientTransformation,
     lut: jax.Array,
 ):
-    """One fused round: batch gen + single Adam update (train_causal.py:87-97,
-    intended)."""
+    fn = functools.partial(causal_round, model, cfg, opt)
 
     @functools.partial(jax.jit, donate_argnums=(0,))
-    def round_fn(
-        state: CausalTrainState, key: jax.Array
-    ) -> Tuple[CausalTrainState, Dict[str, jax.Array]]:
-        env, o0, o1, pi0, log_Ppi, _ = make_causal_batch(
-            cfg, key, state.env, lut
-        )
-
-        def loss_fn(p):
-            x_recon, s = model.apply({"params": p}, o0)
-            F, kl, om = compute_loss_causal(
-                model, p, x_recon, o1, s, state.precision
-            )
-            return F, (kl, om, x_recon, s)
-
-        (F, (kl, om, x_recon, s)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(state.params)
-        updates, opt_state = opt.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        metrics = {
-            "F": F,
-            "mse_o": jnp.mean(jnp.square(x_recon - o1)),
-            "kl_div_s": kl,
-            "omega": om,
-        }
-        new_state = CausalTrainState(
-            params=params,
-            opt_state=opt_state,
-            precision=state.precision,
-            env=env,
-        )
-        return new_state, metrics
+    def round_fn(state, key):
+        return fn(state, key, lut)
 
     return round_fn
+
+
+def make_jit_causal_epoch(
+    model: StructuralCausalModel,
+    cfg: Config,
+    opt: optax.GradientTransformation,
+    lut: jax.Array,
+    rounds: int,
+):
+    """A whole epoch of causal rounds as ONE jitted lax.scan (mirrors
+    train.loop.make_jit_epoch)."""
+    fn = functools.partial(causal_round, model, cfg, opt)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def epoch(state: CausalTrainState, key: jax.Array):
+        def body(st, k):
+            return fn(st, k, lut)
+
+        state, metrics = jax.lax.scan(
+            body, state, jax.random.split(key, rounds)
+        )
+        return state, jax.tree.map(lambda x: x[-1], metrics)
+
+    return epoch
 
 
 def make_jit_causal_eval(

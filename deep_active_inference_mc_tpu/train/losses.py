@@ -32,6 +32,23 @@ from deep_active_inference_mc_tpu.models.networks import reparameterize
 from deep_active_inference_mc_tpu.ops import math as m
 
 
+def compute_kl_div_pi(
+    agent: ActiveInferenceAgent,
+    params,
+    key: jax.Array,
+    o0: jax.Array,
+    log_Ppi: jax.Array,
+):
+    """D_KL[Q(pi|s(o0)) || P(pi)] from observations.
+
+    The reference declares this (torchloss.py:11-16) but it is dead code
+    calling a nonexistent ``encode_o_and_sample_s`` (SURVEY.md §2.5); this
+    is the working intended form."""
+    qs0, _, _ = agent.encode_with_sample(params, key, o0, dropout=True)
+    _, q_pi, log_q_pi = agent.habit(params, qs0)
+    return m.kl_div_categorical(q_pi, log_q_pi, log_Ppi)
+
+
 def compute_loss_top(
     agent: ActiveInferenceAgent, top_params, s: jax.Array, log_Ppi: jax.Array
 ):

@@ -1,0 +1,42 @@
+"""Pallas render kernel: interpret-mode parity on CPU against both XLA
+render paths (the TPU-compiled kernel is exercised by bench.py on hardware).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from deep_active_inference_mc_tpu.envs import dsprites as env_lib
+from deep_active_inference_mc_tpu.envs import raster
+from deep_active_inference_mc_tpu.ops.pallas import render as prender
+
+
+@pytest.fixture(scope="module")
+def lut():
+    return raster.build_sprite_lut()
+
+
+def test_render_paths_agree(lut):
+    state = env_lib.randomize(
+        jax.random.key(1), env_lib.reset(jax.random.key(0), prender.BLK * 2)
+    )
+    mm = raster.paint_reward_strip(
+        raster.render_sprites(lut, state.latents), state.last_r
+    )
+    sl = raster.paint_reward_strip(
+        raster.render_sprites_slice(lut, state.latents), state.last_r
+    )
+    np.testing.assert_array_equal(np.asarray(mm), np.asarray(sl))
+    with pltpu.force_tpu_interpret_mode():
+        pk = prender.render_frames(state.latents, state.last_r)
+    np.testing.assert_array_equal(np.asarray(mm), np.asarray(pk))
+
+
+def test_dispatcher_cpu_fallback(lut):
+    """On CPU the dispatcher must take the XLA path and still render."""
+    assert not env_lib._pallas_render_eligible(prender.BLK)
+    state = env_lib.reset(jax.random.key(0), 8)
+    o = env_lib.render(lut, state)
+    assert o.shape == (8, 64, 64, 1)
