@@ -1,0 +1,97 @@
+"""Batched agent-evaluation sweep CLI.
+
+Scores any controller over thousands of vectorized environments, optionally
+sharded over all available chips (BASELINE.json configs #2 and #5):
+
+    python -m deep_active_inference_mc_tpu.apps.sweep \
+        -n runs/figs_<sig>/checkpoints --method ai --envs 1024 --macro 200
+
+Reports per-method score statistics (the demo's "ROUND SCORE" at fleet
+scale, test_demo.py:120-124).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import jax
+import numpy as np
+
+from deep_active_inference_mc_tpu.config import Config
+from deep_active_inference_mc_tpu.envs import raster
+from deep_active_inference_mc_tpu.infer.agent import ActiveInferenceAgent
+from deep_active_inference_mc_tpu.plan.mcts import MCTSParams
+from deep_active_inference_mc_tpu.train import loop as train_loop
+from deep_active_inference_mc_tpu.train import sweep as sweep_lib
+from deep_active_inference_mc_tpu.utils import checkpoint as ckpt
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="Batched agent sweep.")
+    parser.add_argument("-n", "--network", type=str, default="",
+                        help="Checkpoint dir to load (untrained if empty).")
+    parser.add_argument("--method", type=str, default="ai",
+                        choices=sweep_lib.METHODS,
+                        help="Controller (or 'all' via repeated runs).")
+    parser.add_argument("--envs", type=int, default=1024)
+    parser.add_argument("--macro", type=int, default=100,
+                        help="Macro-steps (plan->act cycles).")
+    parser.add_argument("--steps", type=int, default=1)
+    parser.add_argument("--samples", type=int, default=1)
+    parser.add_argument("--jumps", type=int, default=5)
+    parser.add_argument("--temp", type=float, default=1.0)
+    parser.add_argument("--mcts_repeats", type=int, default=50)
+    parser.add_argument("--mcts_depth", type=int, default=3)
+    parser.add_argument("--mesh", action="store_true",
+                        help="Shard envs over all devices.")
+    parser.add_argument("--seed", type=int, default=0)
+    args = parser.parse_args(argv)
+
+    cfg = Config()
+    agent = ActiveInferenceAgent(s_dim=cfg.s_dim, pi_dim=cfg.pi_dim)
+    lut = raster.build_sprite_lut()
+    if args.network:
+        state = train_loop.create_train_state(cfg, agent, jax.random.key(0))
+        state, _, _ = ckpt.load_all(args.network, state)
+        params = state.params
+        print(f"Loaded checkpoint from {args.network}")
+    else:
+        params = agent.init(jax.random.key(0))
+        print("Untrained weights (no -n).")
+
+    mesh = None
+    if args.mesh:
+        from deep_active_inference_mc_tpu.parallel import mesh as mesh_lib
+
+        mesh = mesh_lib.make_mesh()
+        print(f"Mesh over {len(mesh.devices.flat)} devices")
+
+    t0 = time.time()
+    out = sweep_lib.run_sweep(
+        agent, cfg, params, lut, jax.random.key(args.seed),
+        n_envs=args.envs, mesh=mesh, method=args.method,
+        n_macro_steps=args.macro, steps=args.steps, samples=args.samples,
+        jumps=args.jumps, temperature=args.temp,
+        mcts_params=MCTSParams(
+            repeats=args.mcts_repeats, simulation_depth=args.mcts_depth,
+            max_depth=16,
+        ),
+    )
+    out = jax.device_get(out)
+    dt = time.time() - t0
+    frames = args.envs * args.macro * args.jumps
+    print(
+        f"method={args.method} envs={args.envs} macro={args.macro} "
+        f"score: {float(out['score_mean']):.3f} +- {float(out['score_sem']):.3f} "
+        f"(std {float(out['score_std']):.3f}, min {float(out['score_min']):.2f}, "
+        f"max {float(out['score_max']):.2f}) "
+        f"scoring_events={int(out['scoring_events'])} "
+        f"env_steps/s={frames / dt:.3e} wall={dt:.1f}s",
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -1,0 +1,145 @@
+"""Batched policy evaluation: score agents over vectorized environments.
+
+Covers BASELINE.json configs #2 and #5 ("single-step EFE agent over 1024
+vectorized dSprites envs", "multi-chip sweep over agents/envs"): the demo's
+controller loop (test_demo.py:118-204) re-expressed as a fully on-device
+``lax.scan`` over macro-steps, batched over thousands of envs and shardable
+over a data-parallel mesh.
+
+Macro-step semantics follow the demo: plan once, execute the chosen action
+``jumps`` times with the scoring-abort rule (a scoring event flushes the
+plan; game_environment.py:154-169), then re-plan. Controllers:
+
+  ai      softmax(-G/T) over the 4 single-step EFE estimates (method '2')
+  t1      reward-term-only agent (method '5')
+  t12     terms a+b agent (method '6')
+  habit   habitual network (method '3')
+  mcts    batched array-MCTS, first action of the planned path (method '1')
+  random  uniform actions (baseline)
+  expert  ground-truth policy (game_environment.py:94-111, upper bound)
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from deep_active_inference_mc_tpu.config import Config
+from deep_active_inference_mc_tpu.envs import dsprites as env_lib
+from deep_active_inference_mc_tpu.infer import efe
+from deep_active_inference_mc_tpu.infer.agent import ActiveInferenceAgent, Params
+from deep_active_inference_mc_tpu.plan import mcts as mcts_lib
+
+METHODS = ("ai", "t1", "t12", "habit", "mcts", "random", "expert")
+
+
+def _controller_actions(
+    agent, params, key, o, env, method, steps, samples, temperature,
+    mcts_params,
+):
+    """One planning decision per env: (B,) actions."""
+    if method == "random":
+        return jax.random.randint(key, (env.batch,), 0, agent.pi_dim)
+    if method == "expert":
+        ppi = env_lib.expert_policy(env)
+        return jax.random.categorical(key, jnp.log(ppi + 1e-20), axis=-1)
+    if method == "habit":
+        q_pi = agent.habitual_net(params, o)
+        return jax.random.categorical(key, jnp.log(q_pi + 1e-20), axis=-1)
+    if method == "mcts":
+        res = mcts_lib.active_inference_mcts(
+            agent, params, key, o, mcts_params
+        )
+        # First action of the trimmed plan; empty plans fall back to the
+        # visit-max root action (the demo would simply re-plan next frame).
+        first = res.actions[:, 0]
+        root_best = jnp.argmax(res.root_N, axis=-1).astype(jnp.int32)
+        return jnp.where(res.lengths > 0, first, root_best)
+
+    k_G, k_act = jax.random.split(key)
+    G, terms, _ = efe.calculate_G_4_repeated(
+        agent, params, k_G, o, steps=steps, calc_mean=True, samples=samples
+    )
+    t0 = -terms[0]
+    t1 = terms[1]
+    score = {
+        "ai": -G,
+        "t1": -t0,
+        "t12": -(t0 + t1),
+    }[method]
+    return jax.random.categorical(k_act, score / temperature, axis=-1)
+
+
+def make_sweep(
+    agent: ActiveInferenceAgent,
+    cfg: Config,
+    lut: jax.Array,
+    method: str = "ai",
+    n_macro_steps: int = 100,
+    steps: int = 1,
+    samples: int = 1,
+    jumps: int = 5,
+    temperature: float = 1.0,
+    mcts_params: Optional[mcts_lib.MCTSParams] = None,
+):
+    """Compile a sweep: (params, key, n_envs-batched env) -> score stats."""
+    if method not in METHODS:
+        raise ValueError(f"method {method!r} not in {METHODS}")
+    if mcts_params is None:
+        mcts_params = mcts_lib.MCTSParams(repeats=50, max_depth=16)
+
+    @jax.jit
+    def sweep(params: Params, key: jax.Array, env: env_lib.EnvState):
+        env = env.replace(score=jnp.zeros_like(env.score))
+
+        def macro(env, k):
+            k_plan, k_step = jax.random.split(k)
+            o = env_lib.render(lut, env)
+            a = _controller_actions(
+                agent, params, k_plan, o, env, method, steps, samples,
+                temperature, mcts_params,
+            )
+            env, scored = env_lib.step_repeated(k_step, env, a, repeats=jumps)
+            return env, scored.sum()
+
+        env, scored_counts = jax.lax.scan(
+            macro, env, jax.random.split(key, n_macro_steps)
+        )
+        scores = env.score
+        return {
+            "score_mean": scores.mean(),
+            "score_std": scores.std(),
+            "score_min": scores.min(),
+            "score_max": scores.max(),
+            "score_sem": scores.std() / jnp.sqrt(scores.shape[0]),
+            "scoring_events": scored_counts.sum(),
+            "scores": scores,
+        }
+
+    return sweep
+
+
+def run_sweep(
+    agent: ActiveInferenceAgent,
+    cfg: Config,
+    params: Params,
+    lut: jax.Array,
+    key: jax.Array,
+    n_envs: int = 1024,
+    mesh=None,
+    **kwargs,
+) -> Dict[str, jax.Array]:
+    """Evaluate over ``n_envs`` fresh environments; optionally shard the env
+    batch over a data-parallel mesh (params replicate)."""
+    k_env, k_run = jax.random.split(key)
+    env = env_lib.randomize(k_env, env_lib.reset(k_env, n_envs))
+    if mesh is not None:
+        from deep_active_inference_mc_tpu.parallel import mesh as mesh_lib
+
+        env = jax.device_put(env, mesh_lib.batch_sharding(mesh))
+        params = jax.device_put(params, mesh_lib.replicated(mesh))
+    sweep = make_sweep(agent, cfg, lut, **kwargs)
+    return sweep(params, k_run, env)

@@ -1,0 +1,82 @@
+"""Checkpoint / resume / archive round-trip tests (SURVEY.md §3.5)."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from deep_active_inference_mc_tpu.config import Config
+from deep_active_inference_mc_tpu.infer.agent import ActiveInferenceAgent
+from deep_active_inference_mc_tpu.train import loop as train_loop
+from deep_active_inference_mc_tpu.utils import checkpoint as ckpt
+from deep_active_inference_mc_tpu.utils import stats as stats_lib
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return Config(batch=4, test_size=4)
+
+
+@pytest.fixture(scope="module")
+def agent(cfg):
+    return ActiveInferenceAgent(s_dim=cfg.s_dim, pi_dim=cfg.pi_dim)
+
+
+def test_save_load_roundtrip(tmp_path, cfg, agent):
+    state = train_loop.create_train_state(cfg, agent, jax.random.key(0))
+    stats = stats_lib.new_stats()
+    stats["F"].append(1.25)
+    stats["mse_o"].append(99.0)
+    key = jax.random.key(42)
+
+    folder = tmp_path / "checkpoints"
+    ckpt.save_all(folder, state, stats, key, script_file="")
+    assert ckpt.latest_exists(folder)
+    assert (folder / "stats.pkl").exists()
+    assert (folder / "networks.py").exists()  # source snapshot
+
+    template = train_loop.create_train_state(cfg, agent, jax.random.key(7))
+    restored, stats2, key2 = ckpt.load_all(folder, template)
+    assert stats2["F"] == [1.25]
+    # Params restored exactly (template had different init).
+    a = jax.tree.leaves(state.params["mid"])[0]
+    b = jax.tree.leaves(restored.params["mid"])[0]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # Optimizer state restored (the reference port dropped it, §2.9.5).
+    oa = jax.tree.leaves(state.opt_states["down"])[0]
+    ob = jax.tree.leaves(restored.opt_states["down"])[0]
+    np.testing.assert_array_equal(np.asarray(oa), np.asarray(ob))
+    # PRNG key restored.
+    np.testing.assert_array_equal(
+        np.asarray(jax.random.key_data(key)),
+        np.asarray(jax.random.key_data(key2)),
+    )
+    # Precision scalars restored.
+    assert float(restored.precision.gamma) == float(state.precision.gamma)
+
+
+def test_archive_drops_optimizer(tmp_path, cfg, agent):
+    state = train_loop.create_train_state(cfg, agent, jax.random.key(0))
+    folder = tmp_path / "checkpoints"
+    ckpt.save_all(folder, state, stats_lib.new_stats(), jax.random.key(1))
+    ckpt.archive(folder, epoch=25)
+    arch = tmp_path / "checkpoints_epoch_25"
+    assert arch.exists()
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as c:
+        payload = c.restore(arch / "state")
+    assert "opt_states" not in payload["state"]
+    assert "params" in payload["state"]
+    # Original checkpoint still has the optimizer state.
+    with ocp.StandardCheckpointer() as c:
+        payload = c.restore(folder / "state")
+    assert "opt_states" in payload["state"]
+
+
+def test_pad_missing_stats():
+    stats = {"F": [1.0, 2.0], "mse_o": [3.0]}
+    stats = stats_lib.pad_missing(stats)
+    assert len(stats["mse_o"]) == 2
+    assert all(len(v) in (0, 2) for v in stats.values())
+    assert set(stats_lib.STATS_KEYS) <= set(stats.keys())
