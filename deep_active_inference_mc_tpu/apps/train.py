@@ -80,85 +80,95 @@ def main(argv=None):
     decode_fn = jax.jit(lambda p, s: agent.decode(p, s))
 
     start_time = time.time()
-    for epoch in range(start_epoch, cfg.epochs + 1):
-        # gamma annealing (train.py:101-102).
-        state = state.replace(
-            precision=anneal_gamma(
-                state.precision, epoch, cfg.gamma_delay, cfg.gamma_rate,
-                cfg.gamma_max,
+    try:
+        for epoch in range(start_epoch, cfg.epochs + 1):
+            # gamma annealing (train.py:101-102).
+            state = state.replace(
+                precision=anneal_gamma(
+                    state.precision, epoch, cfg.gamma_delay, cfg.gamma_rate,
+                    cfg.gamma_max,
+                )
             )
-        )
 
-        key, k_epoch, k_eval = jax.random.split(key, 3)
-        epoch_t0 = time.time()
-        with profiling.trace(known.profile_dir if epoch == start_epoch else None):
-            state, train_metrics = epoch_fn(state, k_epoch)
-            train_metrics = jax.tree.map(float, jax.device_get(train_metrics))
-        env_sps = cfg.batch * cfg.repeats * cfg.rounds / (time.time() - epoch_t0)
+            key, k_epoch, k_eval = jax.random.split(key, 3)
+            epoch_t0 = time.time()
+            with profiling.trace(known.profile_dir if epoch == start_epoch else None):
+                state, train_metrics = epoch_fn(state, k_epoch)
+                train_metrics = jax.tree.map(float, jax.device_get(train_metrics))
+            env_sps = cfg.batch * cfg.repeats * cfg.rounds / (time.time() - epoch_t0)
 
-        if epoch % cfg.save_every == 0:
-            ckpt.save_all(folder_chp, state, stats, key, script_file=__file__)
-        if epoch % cfg.archive_every == 0:
-            ckpt.archive(folder_chp, epoch)
+            if epoch % cfg.save_every == 0:
+                ckpt.save_all(folder_chp, state, stats, key, script_file=__file__)
+            if epoch % cfg.archive_every == 0:
+                ckpt.archive(folder_chp, epoch)
 
-        # ---- evaluation (train.py:136-146) --------------------------------
-        ev = jax.device_get(eval_fn(state.params, state.precision, k_eval))
+            # ---- evaluation (train.py:136-146) --------------------------------
+            ev = jax.device_get(eval_fn(state.params, state.precision, k_eval))
 
-        stats["F"].append(float(ev["F"]))
-        stats["F_top"].append(float(ev["F_top"]))
-        stats["F_mid"].append(float(ev["F_mid"]))
-        stats["F_down"].append(float(ev["F_down"]))
-        stats["mse_o"].append(float(ev["mse_o"]))
-        stats["kl_div_s"].append(float(ev["kl_div_s"]))
-        stats["kl_div_s_anal"].append(np.asarray(ev["kl_div_s_anal"]))
-        stats["kl_div_s_naive"].append(float(ev["kl_div_s_naive"]))
-        stats["kl_div_s_naive_anal"].append(np.asarray(ev["kl_div_s_naive_anal"]))
-        stats["omega"].append(train_metrics["omega"])
-        stats["omega_std"].append(train_metrics["omega_std"])
-        stats["kl_div_pi"].append(float(ev["kl_div_pi"]))
-        stats["kl_div_pi_min"].append(float(ev["kl_div_pi_min"]))
-        stats["kl_div_pi_max"].append(float(ev["kl_div_pi_max"]))
-        stats["kl_div_pi_med"].append(float(ev["kl_div_pi_med"]))
-        stats["kl_div_pi_std"].append(float(ev["kl_div_pi_std"]))
-        stats["kl_div_pi_anal"].append(np.asarray(ev["kl_div_pi_anal"]))
-        stats["var_beta_s"].append(float(state.precision.beta_s))
-        stats["var_gamma"].append(float(state.precision.gamma))
-        stats["var_beta_o"].append(float(state.precision.beta_o))
-        stats["var_a"].append(cfg.var_a)
-        stats["var_b"].append(cfg.var_b)
-        stats["var_c"].append(cfg.var_c)
-        stats["var_d"].append(cfg.var_d)
-        stats["TC"].append(float(m.total_correlation(ev["qs1"])))
-        stats["learning_rate"].append(cfg.l_rate_down)
-        stats["current_lr"].append(cfg.l_rate_down)
-        stats["mse_r"].append(float(ev["mse_r"]))
-        stats["score"].append(train_metrics["score"])
+            stats["F"].append(float(ev["F"]))
+            stats["F_top"].append(float(ev["F_top"]))
+            stats["F_mid"].append(float(ev["F_mid"]))
+            stats["F_down"].append(float(ev["F_down"]))
+            stats["mse_o"].append(float(ev["mse_o"]))
+            stats["kl_div_s"].append(float(ev["kl_div_s"]))
+            stats["kl_div_s_anal"].append(np.asarray(ev["kl_div_s_anal"]))
+            stats["kl_div_s_naive"].append(float(ev["kl_div_s_naive"]))
+            stats["kl_div_s_naive_anal"].append(np.asarray(ev["kl_div_s_naive_anal"]))
+            stats["omega"].append(train_metrics["omega"])
+            stats["omega_std"].append(train_metrics["omega_std"])
+            stats["kl_div_pi"].append(float(ev["kl_div_pi"]))
+            stats["kl_div_pi_min"].append(float(ev["kl_div_pi_min"]))
+            stats["kl_div_pi_max"].append(float(ev["kl_div_pi_max"]))
+            stats["kl_div_pi_med"].append(float(ev["kl_div_pi_med"]))
+            stats["kl_div_pi_std"].append(float(ev["kl_div_pi_std"]))
+            stats["kl_div_pi_anal"].append(np.asarray(ev["kl_div_pi_anal"]))
+            stats["var_beta_s"].append(float(state.precision.beta_s))
+            stats["var_gamma"].append(float(state.precision.gamma))
+            stats["var_beta_o"].append(float(state.precision.beta_o))
+            stats["var_a"].append(cfg.var_a)
+            stats["var_b"].append(cfg.var_b)
+            stats["var_c"].append(cfg.var_c)
+            stats["var_d"].append(cfg.var_d)
+            stats["TC"].append(float(m.total_correlation(ev["qs1"])))
+            stats["learning_rate"].append(cfg.l_rate_down)
+            stats["current_lr"].append(cfg.l_rate_down)
+            stats["mse_r"].append(float(ev["mse_r"]))
+            stats["score"].append(train_metrics["score"])
 
-        # ---- artifacts (train.py:177-186) ---------------------------------
-        generate_traversals(
-            decode_fn=lambda s: decode_fn(state.params, s),
-            s_dim=cfg.s_dim,
-            s_sample=ev["s0"],
-            S_real=ev["S0_real"],
-            filenames=[folder / f"traversals_at_epoch_{epoch:04d}.png"],
-        )
-        reconstructions_plot(
-            ev["o0"], ev["o1"], ev["po1"],
-            filename=folder / f"imagination_{cfg.signature}_{epoch}.png",
-        )
-        stats_plot(stats, folder / f"1_result_{cfg.signature}")
+            # ---- artifacts (train.py:177-186) ---------------------------------
+            generate_traversals(
+                decode_fn=lambda s: decode_fn(state.params, s),
+                s_dim=cfg.s_dim,
+                s_sample=ev["s0"],
+                S_real=ev["S0_real"],
+                filenames=[folder / f"traversals_at_epoch_{epoch:04d}.png"],
+            )
+            reconstructions_plot(
+                ev["o0"], ev["o1"], ev["po1"],
+                filename=folder / f"imagination_{cfg.signature}_{epoch}.png",
+            )
+            stats_plot(stats, folder / f"1_result_{cfg.signature}")
 
-        print(
-            f"{epoch}, F: {stats['F'][-1]:.2f}, MSEo: {stats['mse_o'][-1]:.3f}, "
-            f"KLs: {stats['kl_div_s'][-1]:.2f}, "
-            f"omega: {stats['omega'][-1]:.2f}+-{stats['omega_std'][-1]:.2f}, "
-            f"KLpi: {stats['kl_div_pi'][-1]:.2f}, TC: {stats['TC'][-1]:.2f}, "
-            f"score: {stats['score'][-1]:.2f}, "
-            f"env_steps/s: {env_sps:.2e}, "
-            f"dur. {time.time() - start_time:.2f}s",
-            flush=True,
-        )
-        start_time = time.time()
+            print(
+                f"{epoch}, F: {stats['F'][-1]:.2f}, MSEo: {stats['mse_o'][-1]:.3f}, "
+                f"KLs: {stats['kl_div_s'][-1]:.2f}, "
+                f"omega: {stats['omega'][-1]:.2f}+-{stats['omega_std'][-1]:.2f}, "
+                f"KLpi: {stats['kl_div_pi'][-1]:.2f}, TC: {stats['TC'][-1]:.2f}, "
+                f"score: {stats['score'][-1]:.2f}, "
+                f"env_steps/s: {env_sps:.2e}, "
+                f"dur. {time.time() - start_time:.2f}s",
+                flush=True,
+            )
+            start_time = time.time()
+
+
+    except KeyboardInterrupt:
+        # Failure recovery = checkpoint + --resume (SURVEY.md §5):
+        # an interrupt saves a resumable checkpoint instead of
+        # losing up to save_every epochs of work.
+        print("Interrupted — saving checkpoint for --resume", flush=True)
+        ckpt.save_all(folder_chp, state, stats, key, script_file=__file__)
+        raise SystemExit(130)
 
 
 if __name__ == "__main__":

@@ -73,60 +73,70 @@ def main(argv=None):
     )
 
     start_time = time.time()
-    for epoch in range(start_epoch, cfg.epochs + 1):
-        state = state.replace(
-            precision=anneal_gamma(
-                state.precision, epoch, cfg.gamma_delay, cfg.gamma_rate,
-                cfg.gamma_max,
+    try:
+        for epoch in range(start_epoch, cfg.epochs + 1):
+            state = state.replace(
+                precision=anneal_gamma(
+                    state.precision, epoch, cfg.gamma_delay, cfg.gamma_rate,
+                    cfg.gamma_max,
+                )
             )
-        )
-        key, k_epoch = jax.random.split(key)
-        state, train_metrics = epoch_fn(state, k_epoch)
+            key, k_epoch = jax.random.split(key)
+            state, train_metrics = epoch_fn(state, k_epoch)
 
-        if epoch % cfg.save_every == 0:
-            ckpt.save_all(folder_chp, state, stats, key, script_file=__file__)
-        if epoch % cfg.archive_every == 0:
-            ckpt.archive(folder_chp, epoch)
+            if epoch % cfg.save_every == 0:
+                ckpt.save_all(folder_chp, state, stats, key, script_file=__file__)
+            if epoch % cfg.archive_every == 0:
+                ckpt.archive(folder_chp, epoch)
 
-        key, k_eval = jax.random.split(key)
-        ev = jax.device_get(eval_fn(state.params, state.precision, k_eval))
+            key, k_eval = jax.random.split(key)
+            ev = jax.device_get(eval_fn(state.params, state.precision, k_eval))
 
-        stats["F"].append(float(ev["F"]))
-        stats["mse_o"].append(float(ev["mse_o"]))
-        stats["kl_div_s"].append(float(ev["kl_div_s"]))
-        stats["omega"].append(float(ev["omega"]))
-        stats["omega_std"].append(0.0)
-        stats["var_beta_s"].append(float(state.precision.beta_s))
-        stats["var_gamma"].append(float(state.precision.gamma))
-        stats["var_beta_o"].append(float(state.precision.beta_o))
-        stats["var_a"].append(cfg.var_a)
-        stats["var_b"].append(cfg.var_b)
-        stats["var_c"].append(cfg.var_c)
-        stats["var_d"].append(cfg.var_d)
-        stats["learning_rate"].append(known.l_rate)
-        stats["current_lr"].append(known.l_rate)
+            stats["F"].append(float(ev["F"]))
+            stats["mse_o"].append(float(ev["mse_o"]))
+            stats["kl_div_s"].append(float(ev["kl_div_s"]))
+            stats["omega"].append(float(ev["omega"]))
+            stats["omega_std"].append(0.0)
+            stats["var_beta_s"].append(float(state.precision.beta_s))
+            stats["var_gamma"].append(float(state.precision.gamma))
+            stats["var_beta_o"].append(float(state.precision.beta_o))
+            stats["var_a"].append(cfg.var_a)
+            stats["var_b"].append(cfg.var_b)
+            stats["var_c"].append(cfg.var_c)
+            stats["var_d"].append(cfg.var_d)
+            stats["learning_rate"].append(known.l_rate)
+            stats["current_lr"].append(known.l_rate)
 
-        generate_traversals(
-            decode_fn=lambda s: decode_fn(state.params, s),
-            s_dim=cfg.s_dim,
-            s_sample=ev["s"],
-            S_real=ev["S0_real"],
-            filenames=[folder / f"traversals_at_epoch_{epoch:04d}.png"],
-        )
-        reconstructions_plot(
-            ev["o0"], ev["o1"], ev["x_recon"],
-            filename=folder / f"imagination_{cfg.signature}_{epoch}.png",
-        )
+            generate_traversals(
+                decode_fn=lambda s: decode_fn(state.params, s),
+                s_dim=cfg.s_dim,
+                s_sample=ev["s"],
+                S_real=ev["S0_real"],
+                filenames=[folder / f"traversals_at_epoch_{epoch:04d}.png"],
+            )
+            reconstructions_plot(
+                ev["o0"], ev["o1"], ev["x_recon"],
+                filename=folder / f"imagination_{cfg.signature}_{epoch}.png",
+            )
 
-        print(
-            f"{epoch}, F: {stats['F'][-1]:.4f}, MSEo: {stats['mse_o'][-1]:.4f}, "
-            f"KLs: {stats['kl_div_s'][-1]:.2f}, "
-            f"omega: {stats['omega'][-1]:.2f}, "
-            f"cf_effect: {float(ev['cf_effect']):.4f}, "
-            f"dur. {time.time() - start_time:.2f}s",
-            flush=True,
-        )
-        start_time = time.time()
+            print(
+                f"{epoch}, F: {stats['F'][-1]:.4f}, MSEo: {stats['mse_o'][-1]:.4f}, "
+                f"KLs: {stats['kl_div_s'][-1]:.2f}, "
+                f"omega: {stats['omega'][-1]:.2f}, "
+                f"cf_effect: {float(ev['cf_effect']):.4f}, "
+                f"dur. {time.time() - start_time:.2f}s",
+                flush=True,
+            )
+            start_time = time.time()
+
+
+    except KeyboardInterrupt:
+        # Failure recovery = checkpoint + --resume (SURVEY.md §5):
+        # an interrupt saves a resumable checkpoint instead of
+        # losing up to save_every epochs of work.
+        print("Interrupted — saving checkpoint for --resume", flush=True)
+        ckpt.save_all(folder_chp, state, stats, key, script_file=__file__)
+        raise SystemExit(130)
 
 
 if __name__ == "__main__":

@@ -84,7 +84,7 @@ def train_round(
     lut: jax.Array,
 ) -> Tuple[TrainState, Dict[str, jax.Array]]:
     """One full training round (data gen + 3 staged updates), jit-able."""
-    k_data, k_qs0, k_mid, k_down = jax.random.split(key, 4)
+    k_data, k_qs0, k_enc1, k_mid, k_down = jax.random.split(key, 5)
 
     env, o0, o1, pi0, log_Ppi = make_batch_active_inference(
         agent, cfg, state.params, k_data, state.env, lut
@@ -113,7 +113,7 @@ def train_round(
 
     # -- MID: F_mid with omega-weighted KL to the re-encoded posterior
     # (train.py:121-123, torchloss.py:76-88).
-    qs1_mean, qs1_logvar = agent.encode(params, o1, k_mid, dropout=True)
+    qs1_mean, qs1_logvar = agent.encode(params, o1, k_enc1, dropout=True)
     qs1_mean, qs1_logvar = stop(qs1_mean), stop(qs1_logvar)
 
     def mid_loss(mid_p):

@@ -17,11 +17,6 @@ NLL_ACCEPTABLE = 80.0
 NLL_PERFECT = 60.0
 
 
-def _series(stats, key):
-    return np.asarray(stats.get(key, []), dtype=object).astype(float) \
-        if stats.get(key) and np.ndim(stats[key][0]) == 0 else stats.get(key, [])
-
-
 def stats_plot(stats, filename):
     fig = plt.figure(figsize=(14, 12))
 
@@ -84,10 +79,15 @@ def stats_plot(stats, filename):
     ax.plot(stats["TC"], "k")
     ax.set_xlabel("epochs")
 
-    ax = logpanel(14, "Deep reconstructions")
-    ax.plot(stats["deep_mse_o"], "r", label="mse visual")
+    if stats.get("deep_mse_o"):
+        ax = logpanel(14, "Deep reconstructions")
+        ax.plot(stats["deep_mse_o"], "r", label="mse visual")
+        ax.legend(fontsize=6)
+    else:  # empty series: linear axis avoids the log-autoscale warning
+        ax = plt.subplot(4, 4, 14)
+        ax.set_ylabel("Deep reconstructions")
+        ax.grid(True)
     ax.set_xlabel("epochs")
-    ax.legend(fontsize=6)
 
     ax = logpanel(15, "omega")
     om = np.asarray(stats["omega"])
