@@ -133,6 +133,7 @@ def main(argv=None):
             stats["learning_rate"].append(cfg.l_rate_down)
             stats["current_lr"].append(cfg.l_rate_down)
             stats["mse_r"].append(float(ev["mse_r"]))
+            stats["deep_mse_o"].append(float(ev["deep_mse_o"]))
             stats["score"].append(train_metrics["score"])
 
             # ---- artifacts (train.py:177-186) ---------------------------------

@@ -90,7 +90,10 @@ def reward_transition_probe(
     )
     po1 = agent.imagine_future_from_o(params, k_im, o0, pi0)
     mse_r = data_lib.compare_reward(o1, po1)
-    return mse_r, o0, o1, po1
+    # Full-frame imagination MSE — fills the reference's declared-but-never-
+    # populated 'deep_mse_o' series (train.py:68, stats_plot.py panel 14).
+    deep_mse = jnp.mean(jnp.square(o1 - po1))
+    return mse_r, deep_mse, o0, o1, po1
 
 
 def make_jit_eval(agent: ActiveInferenceAgent, cfg: Config, lut: jax.Array):
@@ -106,10 +109,11 @@ def make_jit_eval(agent: ActiveInferenceAgent, cfg: Config, lut: jax.Array):
         metrics = eval_losses(
             agent, cfg, params, precision, k_loss, o0, o1, pi0
         )
-        mse_r, _, _, _ = reward_transition_probe(
+        mse_r, deep_mse, _, _, _ = reward_transition_probe(
             agent, cfg, params, k_probe, lut, cfg.test_size
         )
         metrics["mse_r"] = mse_r
+        metrics["deep_mse_o"] = deep_mse
         metrics["S0_real"] = S0_real
         metrics["o0"] = o0
         metrics["o1"] = o1
