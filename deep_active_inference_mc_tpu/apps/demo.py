@@ -31,7 +31,7 @@ import argparse
 import functools
 import sys
 import time
-from typing import List, Optional
+from typing import List
 
 import jax
 import jax.numpy as jnp

@@ -17,7 +17,6 @@ import sys
 import time
 
 import jax
-import numpy as np
 
 from deep_active_inference_mc_tpu.config import Config
 from deep_active_inference_mc_tpu.envs import raster

@@ -19,7 +19,6 @@ from __future__ import annotations
 import argparse
 import sys
 import time
-from pathlib import Path
 
 import jax
 import numpy as np
@@ -110,6 +109,7 @@ def main(argv=None):
             stats["F_mid"].append(float(ev["F_mid"]))
             stats["F_down"].append(float(ev["F_down"]))
             stats["mse_o"].append(float(ev["mse_o"]))
+            stats["mse_o_clean"].append(float(ev["mse_o_clean"]))
             stats["kl_div_s"].append(float(ev["kl_div_s"]))
             stats["kl_div_s_anal"].append(np.asarray(ev["kl_div_s_anal"]))
             stats["kl_div_s_naive"].append(float(ev["kl_div_s_naive"]))
@@ -151,7 +151,8 @@ def main(argv=None):
             stats_plot(stats, folder / f"1_result_{cfg.signature}")
 
             print(
-                f"{epoch}, F: {stats['F'][-1]:.2f}, MSEo: {stats['mse_o'][-1]:.3f}, "
+                f"{epoch}, F: {stats['F'][-1]:.2f}, MSEo: {stats['mse_o'][-1]:.3f} "
+                f"(clean {stats['mse_o_clean'][-1]:.1f}), "
                 f"KLs: {stats['kl_div_s'][-1]:.2f}, "
                 f"omega: {stats['omega'][-1]:.2f}+-{stats['omega_std'][-1]:.2f}, "
                 f"KLpi: {stats['kl_div_pi'][-1]:.2f}, TC: {stats['TC'][-1]:.2f}, "

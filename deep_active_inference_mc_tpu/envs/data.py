@@ -20,7 +20,6 @@ reference's per-item Python loops (util.py:6-44) become one vectorized pass.
 
 from __future__ import annotations
 
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

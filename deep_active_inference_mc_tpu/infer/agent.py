@@ -18,7 +18,7 @@ Stochasticity policy (explicit, SURVEY.md §2.9/§7 "hard parts"):
 
 from __future__ import annotations
 
-from typing import Any, Dict, Tuple
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

@@ -52,7 +52,19 @@ def eval_losses(
         agent, params["down"], k_down, o1, ps1_mean, ps1_logvar, omega,
         precision,
     )
+    # Dropout-free reconstruction NLL: the port's eval keeps all dropout live
+    # (SURVEY.md §2.9 — torch modules never .eval()), which inflates the
+    # pixel NLL against the published 80/60-nat thresholds; report the
+    # deterministic-VAE number alongside for a fair quality read.
+    qs1_mean_c, _ = agent.encode(params, o1)
+    po1_clean = agent.decode(params, qs1_mean_c)
+    nll_clean = -jnp.sum(
+        o1 * jnp.log(1e-5 + po1_clean)
+        + (1.0 - o1) * jnp.log(1e-5 + 1.0 - po1_clean),
+        axis=(-3, -2, -1),
+    )
     return {
+        "mse_o_clean": nll_clean.mean(),
         "F": (F_down + F_mid + F_top).mean(),
         "F_top": F_top.mean(),
         "F_mid": F_mid.mean(),

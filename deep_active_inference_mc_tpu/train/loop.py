@@ -25,7 +25,6 @@ import functools
 from typing import Any, Dict, Tuple
 
 import jax
-import jax.numpy as jnp
 import optax
 from flax import struct
 

@@ -21,7 +21,6 @@ Dropout is live in every loss forward (training regime), with explicit rngs.
 
 from __future__ import annotations
 
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -21,7 +21,6 @@ plan; game_environment.py:154-169), then re-plan. Controllers:
 
 from __future__ import annotations
 
-import functools
 from typing import Dict, Optional
 
 import jax

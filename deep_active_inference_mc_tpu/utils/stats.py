@@ -21,7 +21,7 @@ STATS_KEYS = [
     "var_b", "var_c", "var_d", "kl_div_s_naive",
     "kl_div_s_naive_anal", "score", "train_scores_m",
     "train_scores_std", "train_scores_sem", "train_scores_min",
-    "train_scores_max",
+    "train_scores_max", "mse_o_clean",
 ]
 
 
