@@ -128,7 +128,8 @@ class Demo:
 
     # ------------------------------------------------------------------ UI
     def frame(self) -> np.ndarray:
-        o = np.asarray(env_lib.render(self.lut, self.env))[0, :, :, 0]
+        # np.array (copy): on CPU np.asarray aliases the read-only jax buffer.
+        o = np.array(env_lib.render(self.lut, self.env))[0, :, :, 0]
         o[59:63, 31] = 1.0  # center marker (test_demo.py:207)
         if self.method == "mcts" and self.mask.max() > 0:
             o[16:48, 16:48] = np.clip(o[16:48, 16:48] + self.mask, 0, 1)
