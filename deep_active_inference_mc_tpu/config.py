@@ -94,12 +94,13 @@ class Config:
         """CLI override parsing: any field is settable via --field value."""
         import argparse
 
+        scalar_types = {"int": int, "float": float, "str": str,
+                        int: int, float: float, str: str}
         parser = argparse.ArgumentParser(description="Config overrides.")
         for f in dataclasses.fields(cls):
-            if f.type in ("int", "float", "str", int, float, str):
+            if f.type in scalar_types:
                 parser.add_argument(
-                    f"--{f.name}", type=eval(f.type) if isinstance(f.type, str) else f.type,
-                    default=None,
+                    f"--{f.name}", type=scalar_types[f.type], default=None
                 )
             elif f.type in ("bool", bool):
                 parser.add_argument(f"--{f.name}", action="store_true", default=None)
