@@ -29,6 +29,7 @@ from deep_active_inference_mc_tpu.infer.agent import ActiveInferenceAgent
 from deep_active_inference_mc_tpu.infer.precision import anneal_gamma
 from deep_active_inference_mc_tpu.ops import math as m
 from deep_active_inference_mc_tpu.train import loop as train_loop
+from deep_active_inference_mc_tpu.train import sweep as sweep_lib
 from deep_active_inference_mc_tpu.train.evaluate import make_jit_eval
 from deep_active_inference_mc_tpu.utils import checkpoint as ckpt
 from deep_active_inference_mc_tpu.utils import profiling
@@ -76,6 +77,13 @@ def main(argv=None):
 
     epoch_fn = train_loop.make_jit_epoch(agent, cfg, lut, cfg.rounds)
     eval_fn = make_jit_eval(agent, cfg, lut)
+    # Per-epoch behavioral score: a small EFE-agent sweep (fills the
+    # reference's declared-but-never-appended train_scores_* series,
+    # train.py:71-73).
+    score_fn = sweep_lib.make_sweep(
+        agent, cfg, lut, method="ai", n_macro_steps=20,
+        steps=cfg.deepness, samples=cfg.samples, jumps=cfg.repeats,
+    )
     decode_fn = jax.jit(lambda p, s: agent.decode(p, s))
 
     start_time = time.time()
@@ -134,7 +142,19 @@ def main(argv=None):
             stats["current_lr"].append(cfg.l_rate_down)
             stats["mse_r"].append(float(ev["mse_r"]))
             stats["deep_mse_o"].append(float(ev["deep_mse_o"]))
-            stats["score"].append(train_metrics["score"])
+
+            key, k_score = jax.random.split(key)
+            k_env2, k_sw = jax.random.split(k_score)
+            sweep_env = train_loop.env_lib.randomize(
+                k_env2, train_loop.env_lib.reset(k_env2, 128)
+            )
+            sc = jax.device_get(score_fn(state.params, k_sw, sweep_env))
+            stats["score"].append(float(sc["score_mean"]))
+            stats["train_scores_m"].append(float(sc["score_mean"]))
+            stats["train_scores_std"].append(float(sc["score_std"]))
+            stats["train_scores_sem"].append(float(sc["score_sem"]))
+            stats["train_scores_min"].append(float(sc["score_min"]))
+            stats["train_scores_max"].append(float(sc["score_max"]))
 
             # ---- artifacts (train.py:177-186) ---------------------------------
             generate_traversals(
