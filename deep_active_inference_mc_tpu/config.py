@@ -43,6 +43,17 @@ class Config:
     repeats: int = 5
     temperature: float = 10.0  # softmax(-G) temperature (util.py:46)
 
+    # VAE encoder/decoder dropout during the training losses (0/1). The torch
+    # port trains with it unconditionally live (modules never .eval(),
+    # SURVEY.md §2.9), but the paper's MC-dropout mechanism is the
+    # *transition* net (always on regardless of this flag), and the TF
+    # original's Keras layers default dropout off without training=True.
+    # Measured: always-on VAE dropout plateaus the pixel NLL at ~186 nats;
+    # disabling it drops NLL by 40+ nats within a few epochs — the published
+    # 80/60-nat quality anchors imply the dropout-off regime. Default 0
+    # (intended semantics); set 1 for port-faithful training.
+    vae_train_dropout: int = 0
+
     # --- optimization (train.py:44-46) ---
     l_rate_top: float = 1e-4
     l_rate_mid: float = 1e-4

@@ -39,18 +39,19 @@ def eval_losses(
     omega = jnp.asarray(omega_params.eval_omega, jnp.float32)
     log_Ppi = jnp.log(pi0 + 1e-15)
 
+    vae_do = bool(cfg.vae_train_dropout)
     k_s0, k_enc1, k_mid, k_down = jax.random.split(key, 4)
-    s0, _, _ = agent.encode_with_sample(params, k_s0, o0, dropout=True)
+    s0, _, _ = agent.encode_with_sample(params, k_s0, o0, dropout=vae_do)
     F_top, (kl_div_pi, kl_div_pi_anal, _) = losses.compute_loss_top(
         agent, params["top"], s0, log_Ppi
     )
-    qs1_mean, qs1_logvar = agent.encode(params, o1, k_enc1, dropout=True)
+    qs1_mean, qs1_logvar = agent.encode(params, o1, k_enc1, dropout=vae_do)
     F_mid, (mid_terms, ps1, ps1_mean, ps1_logvar) = losses.compute_loss_mid(
         agent, params["mid"], k_mid, s0, pi0, qs1_mean, qs1_logvar, omega
     )
     F_down, (down_terms, po1, qs1) = losses.compute_loss_down(
         agent, params["down"], k_down, o1, ps1_mean, ps1_logvar, omega,
-        precision,
+        precision, vae_dropout=vae_do,
     )
     # Dropout-free reconstruction NLL: the port's eval keeps all dropout live
     # (SURVEY.md §2.9 — torch modules never .eval()), which inflates the

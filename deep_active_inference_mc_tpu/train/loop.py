@@ -92,7 +92,8 @@ def train_round(
 
     # -- TOP: F_top on qs0 ~ Q(s|o0), gradients only into the habit net
     # (train.py:112-113, torchloss.py:65-74).
-    qs0, _, _ = agent.encode_with_sample(params, k_qs0, o0, dropout=True)
+    vae_do = bool(cfg.vae_train_dropout)
+    qs0, _, _ = agent.encode_with_sample(params, k_qs0, o0, dropout=vae_do)
     qs0 = stop(qs0)
 
     def top_loss(top_p):
@@ -112,7 +113,7 @@ def train_round(
 
     # -- MID: F_mid with omega-weighted KL to the re-encoded posterior
     # (train.py:121-123, torchloss.py:76-88).
-    qs1_mean, qs1_logvar = agent.encode(params, o1, k_enc1, dropout=True)
+    qs1_mean, qs1_logvar = agent.encode(params, o1, k_enc1, dropout=vae_do)
     qs1_mean, qs1_logvar = stop(qs1_mean), stop(qs1_logvar)
 
     def mid_loss(mid_p):
@@ -134,7 +135,7 @@ def train_round(
     def down_loss(down_p):
         F_down, (terms, po1, qs1) = losses.compute_loss_down(
             agent, down_p, k_down, o1, ps1_mean, ps1_logvar, omega,
-            state.precision,
+            state.precision, vae_dropout=vae_do,
         )
         return F_down.mean(), (F_down, terms)
 

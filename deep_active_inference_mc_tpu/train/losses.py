@@ -95,18 +95,22 @@ def compute_loss_down(
     omega: jax.Array,
     precision: PrecisionState,
     displacement: float = 1e-5,
+    vae_dropout: bool = True,
 ):
     """F_down = -beta_o log P(o1|s1) + beta_s * gamma-gated KL mixture
-    (torchloss.py:39-63)."""
+    (torchloss.py:39-63). ``vae_dropout`` gates the encoder/decoder dropout
+    (see Config.vae_train_dropout)."""
     k_enc, k_samp, k_dec = jax.random.split(key, 3)
+    rngs_e = {"dropout": k_enc} if vae_dropout else {}
+    rngs_d = {"dropout": k_dec} if vae_dropout else {}
     qs1_mean, qs1_logvar = agent.down.apply(
-        {"params": down_params}, o1, True,
-        method=type(agent.down).encode, rngs={"dropout": k_enc},
+        {"params": down_params}, o1, vae_dropout,
+        method=type(agent.down).encode, rngs=rngs_e,
     )
     qs1 = reparameterize(k_samp, qs1_mean, qs1_logvar)
     po1 = agent.down.apply(
-        {"params": down_params}, qs1, True,
-        method=type(agent.down).decode, rngs={"dropout": k_dec},
+        {"params": down_params}, qs1, vae_dropout,
+        method=type(agent.down).decode, rngs=rngs_d,
     )
 
     # E[log P(o1|s1)]: displaced binary cross-entropy (torchloss.py:45-46).
