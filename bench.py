@@ -89,6 +89,28 @@ def bench_efe_rollouts(agent, params, lut):
     return EFE_BATCH * 4 * EFE_ITERS * reps / dt
 
 
+def bench_mcts_plans(agent, params, lut):
+    """Batched array-MCTS planning throughput: full 50-expansion searches
+    with depth-3 habit simulations, 256 envs planning simultaneously."""
+    from deep_active_inference_mc_tpu.plan import mcts as mcts_lib
+
+    B = 256
+    state = env_lib.reset(jax.random.key(0), B)
+    o = env_lib.render(lut, state)
+    p = mcts_lib.MCTSParams(repeats=50, simulation_depth=3, max_depth=16)
+    planner = mcts_lib.make_jit_planner(agent, p)
+
+    res = planner(params, jax.random.key(1), o)
+    jax.block_until_ready(res.actions)
+    t0 = time.perf_counter()
+    reps = 3
+    for i in range(reps):
+        res = planner(params, jax.random.key(2 + i), o)
+    jax.block_until_ready(res.actions)
+    dt = time.perf_counter() - t0
+    return B * reps / dt
+
+
 def main():
     lut = raster.build_sprite_lut()
     agent = ActiveInferenceAgent(s_dim=10, pi_dim=4)
@@ -96,10 +118,12 @@ def main():
 
     env_sps = bench_env_steps(lut)
     efe_rps = bench_efe_rollouts(agent, params, lut)
+    mcts_pps = bench_mcts_plans(agent, params, lut)
 
     print(
         f"env_steps/s: {env_sps:.3e} (target {TARGET_ENV_STEPS:.0e}), "
-        f"efe_rollouts/s: {efe_rps:.3e} (target {TARGET_EFE_ROLLOUTS:.0e})",
+        f"efe_rollouts/s: {efe_rps:.3e} (target {TARGET_EFE_ROLLOUTS:.0e}), "
+        f"mcts_plans/s: {mcts_pps:.3e} (50 expansions, depth-3 sims)",
         file=sys.stderr,
     )
     print(
@@ -111,6 +135,7 @@ def main():
                 "vs_baseline": env_sps / TARGET_ENV_STEPS,
                 "efe_rollouts_per_sec": efe_rps,
                 "efe_vs_baseline": efe_rps / TARGET_EFE_ROLLOUTS,
+                "mcts_plans_per_sec": mcts_pps,
             }
         )
     )
