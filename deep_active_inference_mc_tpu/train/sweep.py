@@ -72,6 +72,33 @@ def _controller_actions(
     return jax.random.categorical(k_act, score / temperature, axis=-1)
 
 
+def _make_render_fn(lut: jax.Array, mesh):
+    """Frame renderer for the sweep. With a mesh on TPU, the fused Pallas
+    kernel runs per-shard under shard_map (a pallas_call has no SPMD
+    partitioning rule, so the auto-partitioner can't split it itself);
+    otherwise the XLA render path partitions automatically."""
+    if mesh is not None and jax.default_backend() == "tpu":
+        from jax.sharding import PartitionSpec as P
+
+        from deep_active_inference_mc_tpu.ops.pallas import render as prender
+
+        n_shards = len(mesh.devices.flat)
+
+        def render_fn(env):
+            if env.batch % (n_shards * prender.BLK) == 0:
+                fn = jax.shard_map(
+                    prender.render_frames,
+                    mesh=mesh,
+                    in_specs=(P("data"), P("data")),
+                    out_specs=P("data"),
+                )
+                return fn(env.latents, env.last_r)
+            return env_lib.render(lut, env)
+
+        return render_fn
+    return lambda env: env_lib.render(lut, env)
+
+
 def make_sweep(
     agent: ActiveInferenceAgent,
     cfg: Config,
@@ -83,12 +110,14 @@ def make_sweep(
     jumps: int = 5,
     temperature: float = 1.0,
     mcts_params: Optional[mcts_lib.MCTSParams] = None,
+    mesh=None,
 ):
     """Compile a sweep: (params, key, n_envs-batched env) -> score stats."""
     if method not in METHODS:
         raise ValueError(f"method {method!r} not in {METHODS}")
     if mcts_params is None:
         mcts_params = mcts_lib.MCTSParams(repeats=50, max_depth=16)
+    render_fn = _make_render_fn(lut, mesh)
 
     @jax.jit
     def sweep(params: Params, key: jax.Array, env: env_lib.EnvState):
@@ -96,7 +125,7 @@ def make_sweep(
 
         def macro(env, k):
             k_plan, k_step = jax.random.split(k)
-            o = env_lib.render(lut, env)
+            o = render_fn(env)
             a = _controller_actions(
                 agent, params, k_plan, o, env, method, steps, samples,
                 temperature, mcts_params,
@@ -140,5 +169,5 @@ def run_sweep(
 
         env = jax.device_put(env, mesh_lib.batch_sharding(mesh))
         params = jax.device_put(params, mesh_lib.replicated(mesh))
-    sweep = make_sweep(agent, cfg, lut, **kwargs)
+    sweep = make_sweep(agent, cfg, lut, mesh=mesh, **kwargs)
     return sweep(params, k_run, env)
