@@ -21,6 +21,7 @@ import sys
 import time
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from deep_active_inference_mc_tpu.config import Config
@@ -28,6 +29,7 @@ from deep_active_inference_mc_tpu.envs import raster
 from deep_active_inference_mc_tpu.infer.agent import ActiveInferenceAgent
 from deep_active_inference_mc_tpu.infer.precision import anneal_gamma
 from deep_active_inference_mc_tpu.ops import math as m
+from deep_active_inference_mc_tpu.parallel import mesh as mesh_lib
 from deep_active_inference_mc_tpu.train import loop as train_loop
 from deep_active_inference_mc_tpu.train import sweep as sweep_lib
 from deep_active_inference_mc_tpu.train.evaluate import make_jit_eval
@@ -60,8 +62,20 @@ def main(argv=None):
         pi_dim=cfg.pi_dim,
         colour_channels=cfg.colour_channels,
         resolution=cfg.resolution,
+        dtype=jnp.bfloat16 if cfg.bf16 else jnp.float32,
     )
     lut = raster.build_sprite_lut()
+
+    # Multi-chip data parallelism: Config.mesh_shape > 1 pins env batches to
+    # the mesh's 'data' axis, replicates params/optimizer state, and lets XLA
+    # insert the gradient all-reduce over ICI (SURVEY.md §2.10).
+    mesh = None
+    if cfg.mesh_shape is not None and cfg.mesh_shape > 1:
+        mesh = mesh_lib.make_mesh(cfg.mesh_shape)
+        if cfg.batch % cfg.mesh_shape:
+            raise ValueError(
+                f"batch {cfg.batch} not divisible by mesh_shape {cfg.mesh_shape}"
+            )
 
     key = jax.random.key(0)
     key, k_init = jax.random.split(key)
@@ -75,13 +89,18 @@ def main(argv=None):
         start_epoch = len(stats["F"]) + 1
         print(f"Resumed from {folder_chp} at epoch {start_epoch}")
 
-    epoch_fn = train_loop.make_jit_epoch(agent, cfg, lut, cfg.rounds)
+    if mesh is not None:
+        state = mesh_lib.shard_train_state(state, mesh)
+        epoch_fn = mesh_lib.make_sharded_epoch(agent, cfg, lut, mesh, cfg.rounds)
+    else:
+        epoch_fn = train_loop.make_jit_epoch(agent, cfg, lut, cfg.rounds)
     eval_fn = make_jit_eval(agent, cfg, lut)
-    # Per-epoch behavioral score: a small EFE-agent sweep (fills the
-    # reference's declared-but-never-appended train_scores_* series,
-    # train.py:71-73).
+    # Per-epoch behavioral score: an EFE-agent sweep (fills the reference's
+    # declared-but-never-appended train_scores_* series, train.py:71-73).
+    # 512 envs x 100 macro-steps by default — large enough that the logged
+    # series is a learning curve, not noise.
     score_fn = sweep_lib.make_sweep(
-        agent, cfg, lut, method="ai", n_macro_steps=20,
+        agent, cfg, lut, method="ai", n_macro_steps=cfg.sweep_steps,
         steps=cfg.deepness, samples=cfg.samples, jumps=cfg.repeats,
     )
     decode_fn = jax.jit(lambda p, s: agent.decode(p, s))
@@ -146,7 +165,7 @@ def main(argv=None):
             key, k_score = jax.random.split(key)
             k_env2, k_sw = jax.random.split(k_score)
             sweep_env = train_loop.env_lib.randomize(
-                k_env2, train_loop.env_lib.reset(k_env2, 128)
+                k_env2, train_loop.env_lib.reset(k_env2, cfg.sweep_envs)
             )
             sc = jax.device_get(score_fn(state.params, k_sw, sweep_env))
             stats["score"].append(float(sc["score_mean"]))
@@ -157,18 +176,26 @@ def main(argv=None):
             stats["train_scores_max"].append(float(sc["score_max"]))
 
             # ---- artifacts (train.py:177-186) ---------------------------------
-            generate_traversals(
-                decode_fn=lambda s: decode_fn(state.params, s),
-                s_dim=cfg.s_dim,
-                s_sample=ev["s0"],
-                S_real=ev["S0_real"],
-                filenames=[folder / f"traversals_at_epoch_{epoch:04d}.png"],
-            )
-            reconstructions_plot(
-                ev["o0"], ev["o1"], ev["po1"],
-                filename=folder / f"imagination_{cfg.signature}_{epoch}.png",
-            )
-            stats_plot(stats, folder / f"1_result_{cfg.signature}")
+            if epoch % cfg.viz_every == 0:
+                generate_traversals(
+                    decode_fn=lambda s: decode_fn(state.params, s),
+                    s_dim=cfg.s_dim,
+                    s_sample=ev["s0"],
+                    S_real=ev["S0_real"],
+                    filenames=[folder / f"traversals_at_epoch_{epoch:04d}.png"],
+                )
+                reconstructions_plot(
+                    ev["o0"], ev["o1"], ev["po1"],
+                    filename=folder / f"imagination_{cfg.signature}_{epoch}.png",
+                )
+                # Reward-imagination strip (train.py:184): does the decoded
+                # imagination of an "up" at the scoring edge paint the strip?
+                reconstructions_plot(
+                    ev["o0_probe"], ev["o1_probe"], ev["po1_probe"],
+                    filename=folder
+                    / f"reward_imagination_{cfg.signature}_{epoch}.png",
+                )
+                stats_plot(stats, folder / f"1_result_{cfg.signature}")
 
             print(
                 f"{epoch}, F: {stats['F'][-1]:.2f}, MSEo: {stats['mse_o'][-1]:.3f} "

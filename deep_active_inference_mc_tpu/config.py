@@ -69,6 +69,15 @@ class Config:
     save_every: int = 2
     archive_every: int = 25
 
+    # --- per-epoch behavioral sweep (train.py:71-73 train_scores_*) ---
+    # 512 envs x 100 macro-steps gives the score series a real signal;
+    # smaller sweeps are statistical noise at early-training effect sizes.
+    sweep_envs: int = 512
+    sweep_steps: int = 100
+
+    # --- artifact cadence (reference: every epoch, train.py:177-186) ---
+    viz_every: int = 1
+
     # --- TPU execution ---
     bf16: bool = False  # bfloat16 compute for model forwards
     mesh_shape: Optional[int] = None  # data-axis size; None = all devices
@@ -106,7 +115,8 @@ class Config:
         import argparse
 
         scalar_types = {"int": int, "float": float, "str": str,
-                        int: int, float: float, str: str}
+                        "Optional[int]": int,
+                        int: int, float: float, str: str, Optional[int]: int}
         parser = argparse.ArgumentParser(description="Config overrides.")
         for f in dataclasses.fields(cls):
             if f.type in scalar_types:

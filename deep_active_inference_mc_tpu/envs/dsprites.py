@@ -214,20 +214,6 @@ def ground_truth_factors(state: EnvState) -> jax.Array:
     )
 
 
-def reward_to_rgb(reward: jax.Array) -> jax.Array:
-    """Reward -> RGB colour map for colour rendering
-    (game_environment.py:56-57): green for positive, red for negative."""
-    reward = jnp.asarray(reward)
-    return jnp.stack(
-        [
-            jnp.minimum(1.0, -reward + 1.0),
-            jnp.minimum(1.0, reward + 1.0),
-            1.0 - jnp.abs(reward),
-        ],
-        axis=-1,
-    )
-
-
 def expert_policy(state: EnvState, randomness: float = 0.4) -> jax.Array:
     """Ground-truth expert action distribution (game_environment.py:94-104):
     squares want up+right, ellipses/hearts want up+left."""

@@ -87,3 +87,43 @@ def make_sharded_train_round(
         return fn(state, key, lut_repl)
 
     return step
+
+
+def make_sharded_epoch(
+    agent: ActiveInferenceAgent,
+    cfg: Config,
+    lut: jax.Array,
+    mesh: Mesh,
+    rounds: int,
+):
+    """Mesh-sharded version of ``train_loop.make_jit_epoch``: the whole epoch
+    (``rounds`` fused train rounds) as one jitted ``lax.scan`` with envs
+    pinned to the ``data`` axis and learnable state replicated. Used by the
+    flagship trainer when ``Config.mesh_shape`` is set."""
+    opts = train_loop.make_optimizers(cfg)
+    omega_params = OmegaParams(cfg.var_a, cfg.var_b, cfg.var_c, cfg.var_d)
+    batch = batch_sharding(mesh)
+    repl = replicated(mesh)
+    state_shardings = train_loop.TrainState(
+        params=repl, opt_states=repl, precision=repl, env=batch
+    )
+    lut_repl = jax.device_put(lut, repl)
+
+    @functools.partial(
+        jax.jit,
+        in_shardings=(state_shardings, repl),
+        out_shardings=(state_shardings, repl),
+        donate_argnums=(0,),
+    )
+    def epoch(state, key):
+        def body(st, k):
+            return train_loop.train_round(
+                agent, cfg, opts, omega_params, st, k, lut_repl
+            )
+
+        state, metrics = jax.lax.scan(
+            body, state, jax.random.split(key, rounds)
+        )
+        return state, jax.tree.map(lambda x: x[-1], metrics)
+
+    return epoch

@@ -122,14 +122,23 @@ def make_jit_eval(agent: ActiveInferenceAgent, cfg: Config, lut: jax.Array):
         metrics = eval_losses(
             agent, cfg, params, precision, k_loss, o0, o1, pi0
         )
-        mse_r, deep_mse, _, _, _ = reward_transition_probe(
+        mse_r, deep_mse, o0p, o1p, po1p = reward_transition_probe(
             agent, cfg, params, k_probe, lut, cfg.test_size
         )
         metrics["mse_r"] = mse_r
         metrics["deep_mse_o"] = deep_mse
         metrics["S0_real"] = S0_real
-        metrics["o0"] = o0
-        metrics["o1"] = o1
+        # Frames feed the 7-sample reconstruction strips only (train.py:178,
+        # 184) — slice on-device so the host transfer stays a few KB.
+        n_plot = 7
+        metrics["o0"] = o0[:n_plot]
+        metrics["o1"] = o1[:n_plot]
+        metrics["po1"] = metrics["po1"][:n_plot]
+        # Reward-imagination probe strip (reward_imagination_*.png,
+        # train.py:184): real pre/post scoring frames vs the imagined one.
+        metrics["o0_probe"] = o0p[:n_plot]
+        metrics["o1_probe"] = o1p[:n_plot]
+        metrics["po1_probe"] = po1p[:n_plot]
         return metrics
 
     return evaluate
