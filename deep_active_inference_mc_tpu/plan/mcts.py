@@ -54,6 +54,12 @@ class MCTSParams:
     using_prior_for_exploration: bool = False
     samples: int = 1  # MC samples in expand when use_means=False
     max_depth: int = 32  # selection-walk bound (trees this deep are degenerate)
+    # Sampled (vs argmax) walks in select/action_selection — the reference's
+    # ``deterministic=False`` modes (mcts.py:49-62, 98-108). The reference
+    # entry point always passes deterministic=True (mcts.py:180,183,193);
+    # these flags expose the rest of the API.
+    deterministic_selection: bool = True
+    deterministic_action: bool = True
 
 
 class MCTSResult(NamedTuple):
@@ -65,6 +71,7 @@ class MCTSResult(NamedTuple):
     root_Qpi: jax.Array  # (B, 4) habit prior at root
     all_paths: Optional[jax.Array]  # (R, B, max_depth) selection paths or None
     all_paths_G: Optional[jax.Array]  # (R, B) simulation G per iteration
+    tree: Optional["_Tree"] = None  # final tree arrays (return_tree=True)
 
 
 @struct.dataclass
@@ -117,11 +124,20 @@ def _expand_G(
     return G.reshape(B, A), ps_next.reshape(B, A, -1)
 
 
-def _select(tree: _Tree, C: float, use_prior: bool, max_depth: int):
-    """Vectorized deterministic selection walk (mcts.py:49-62): from the
-    root, argmax of probs_for_selection into children until a node without
-    children. Returns (path_nodes, path_actions, path_len, leaf_idx); the
-    path records (node, action-taken) pairs root..parent-of-leaf."""
+def _select(
+    tree: _Tree,
+    C: float,
+    use_prior: bool,
+    max_depth: int,
+    deterministic: bool = True,
+    key: Optional[jax.Array] = None,
+):
+    """Vectorized selection walk (mcts.py:49-62): from the root, walk
+    probs_for_selection (argmax, or a multinomial draw when
+    ``deterministic=False`` — mcts.py:53,58) into children until a node
+    without children. Returns (path_nodes, path_actions, path_len,
+    leaf_idx); the path records (node, action-taken) pairs
+    root..parent-of-leaf."""
     B, N_max, A = tree.W.shape
     bidx = jnp.arange(B)
 
@@ -138,7 +154,14 @@ def _select(tree: _Tree, C: float, use_prior: bool, max_depth: int):
             tree.W[bidx, cur], tree.N[bidx, cur], tree.Qpi[bidx, cur],
             C, use_prior,
         )
-        a = jnp.argmax(probs, axis=-1).astype(jnp.int32)
+        if deterministic:
+            a = jnp.argmax(probs, axis=-1).astype(jnp.int32)
+        else:
+            a = jax.random.categorical(
+                jax.random.fold_in(key, depth),
+                jnp.log(jnp.maximum(probs, 1e-30)),
+                axis=-1,
+            ).astype(jnp.int32)
         child = tree.children[bidx, cur, a]
         walking = child >= 0  # node had children -> we step into one
         nodes = nodes.at[:, depth].set(jnp.where(walking, cur, -1))
@@ -199,8 +222,16 @@ def _trim_path(path: jax.Array, length: jax.Array, pi_dim: int, max_depth: int):
     return out, out_len
 
 
-def _action_selection(tree: _Tree, max_depth: int, pi_dim: int):
-    """Final visit-max walk (mcts.py:98-108) + pair trim."""
+def _action_selection(
+    tree: _Tree,
+    max_depth: int,
+    pi_dim: int,
+    deterministic: bool = True,
+    key: Optional[jax.Array] = None,
+):
+    """Final visit-count walk (mcts.py:98-108) + pair trim. Argmax by
+    default; ``deterministic=False`` samples proportional to visit counts
+    (mcts.py:101,106)."""
     B, N_max, A = tree.N.shape
     bidx = jnp.arange(B)
 
@@ -212,7 +243,14 @@ def _action_selection(tree: _Tree, max_depth: int, pi_dim: int):
 
     def body(carry):
         cur, depth, acts, lens = carry
-        a = jnp.argmax(tree.N[bidx, cur], axis=-1).astype(jnp.int32)
+        if deterministic:
+            a = jnp.argmax(tree.N[bidx, cur], axis=-1).astype(jnp.int32)
+        else:
+            a = jax.random.categorical(
+                jax.random.fold_in(key, depth),
+                jnp.log(jnp.maximum(tree.N[bidx, cur], 1e-30)),
+                axis=-1,
+            ).astype(jnp.int32)
         child = tree.children[bidx, cur, a]
         walking = child >= 0
         acts = acts.at[:, depth].set(jnp.where(walking, a, -1))
@@ -237,6 +275,7 @@ def active_inference_mcts(
     frames: jax.Array,
     p: MCTSParams,
     collect_paths: bool = False,
+    return_tree: bool = False,
 ) -> MCTSResult:
     """Batched planner entry point (mcts.py:150-195).
 
@@ -244,6 +283,7 @@ def active_inference_mcts(
       frames: (B, H, W, C) current observations.
       collect_paths: also return per-iteration selection paths + G (the
         demo's visit-density mask input; memory ~R*B*max_depth).
+      return_tree: also return the final tree arrays (tests/debugging).
     """
     B = frames.shape[0]
     A = agent.pi_dim
@@ -298,31 +338,46 @@ def active_inference_mcts(
     )
     paths_G_buf = jnp.zeros((p.repeats, B)) if collect_paths else None
 
-    def iteration(i, carry):
-        tree, paths_buf, paths_G_buf = carry
-        k_i = jax.random.fold_in(k_loop, i)
-        k_exp, k_sim = jax.random.split(k_i)
-
-        # phase B check on the *current* tree (mcts.py:176-181).
+    def _phase_b_done(tree):
+        # phase B check (mcts.py:176-181): normalized root visits confident.
         N_root = tree.N[:, 0]
         N_norm = N_root / jnp.maximum(N_root.sum(-1, keepdims=True), 1e-12)
-        newly_done = (_calc_threshold(N_norm) > p.threshold) & ~tree.done
-        done = tree.done | newly_done
+        return tree.done | (_calc_threshold(N_norm) > p.threshold)
+
+    def loop_cond(carry):
+        # Early exit when every env has decided — the reference's per-env
+        # `break` (mcts.py:176-181) as a batched while_loop, so decided
+        # batches stop paying expand+simulate cost.
+        i, tree, *_ = carry
+        return jnp.logical_and(i < p.repeats, jnp.any(~_phase_b_done(tree)))
+
+    def iteration(carry):
+        i, tree, paths_buf, paths_G_buf = carry
+        k_i = jax.random.fold_in(k_loop, i)
+        k_exp, k_sim, k_sel = jax.random.split(k_i, 3)
+
+        done = _phase_b_done(tree)
         active = ~done
 
         # select (mcts.py:183).
         nodes, acts, lens, leaf = _select(
-            tree, p.C, p.using_prior_for_exploration, p.max_depth
+            tree, p.C, p.using_prior_for_exploration, p.max_depth,
+            deterministic=p.deterministic_selection, key=k_sel,
         )
 
-        # expand leaf (mcts.py:184): slots are deterministic.
+        # expand leaf (mcts.py:184): slots are deterministic. A walk that
+        # hit the max_depth cap returns an *internal* node — expanding it
+        # would orphan its subtree and double-count its seed visit, so the
+        # expand is a no-op there (the reference has no depth cap; its
+        # walks always end at a true leaf, mcts.py:56).
         base = A + 1 + A * i
         leaf_s = tree.s[bidx, leaf]
         G_leaf, ps_next = _expand_G(agent, params, k_exp, leaf_s, p)
         child_ids = jnp.broadcast_to(
             base + jnp.arange(A, dtype=jnp.int32), (B, A)
         )
-        mask = active[:, None]
+        is_true_leaf = tree.children[bidx, leaf, 0] < 0
+        mask = (active & is_true_leaf)[:, None]
         new_W = tree.W.at[bidx, leaf].set(
             jnp.where(mask, tree.W[bidx, leaf] - G_leaf, tree.W[bidx, leaf])
         )
@@ -382,13 +437,22 @@ def active_inference_mcts(
                 jnp.where(active[:, None], acts, -1)
             )
             paths_G_buf = paths_G_buf.at[i].set(G_sim)
-        return tree, paths_buf, paths_G_buf
+        return i + 1, tree, paths_buf, paths_G_buf
 
-    tree, paths_buf, paths_G_buf = jax.lax.fori_loop(
-        0, p.repeats, iteration, (tree, paths_buf, paths_G_buf)
+    _, tree, paths_buf, paths_G_buf = jax.lax.while_loop(
+        loop_cond,
+        iteration,
+        (jnp.asarray(0, jnp.int32), tree, paths_buf, paths_G_buf),
     )
+    # Envs whose threshold crossed on what would have been the next
+    # iteration are already decided; finalize the done flags so
+    # repeats_done matches the reference's per-env break point.
+    tree = tree.replace(done=_phase_b_done(tree))
 
-    actions, lengths = _action_selection(tree, p.max_depth, A)
+    actions, lengths = _action_selection(
+        tree, p.max_depth, A,
+        deterministic=p.deterministic_action, key=k_final,
+    )
 
     # phase-A overrides: single habit action, zero search.
     if p.use_habit:
@@ -412,6 +476,7 @@ def active_inference_mcts(
         root_Qpi=root_Qpi,
         all_paths=paths_buf,
         all_paths_G=paths_G_buf,
+        tree=tree if return_tree else None,
     )
 
 

@@ -214,6 +214,98 @@ def test_phase_a_habit_shortcircuit(monkeypatch):
     assert int(res.states_explored[0]) == 0
 
 
+def test_max_depth_cap_is_noop_expand(monkeypatch):
+    """A selection walk that hits the max_depth cap returns an *internal*
+    node; expanding it must be a no-op (no children overwrite, no extra
+    seed visit) — regression for the re-expansion hazard. The reference has
+    no depth cap (mcts.py:49-62), so the only correct capped behavior is
+    'leave the subtree alone'."""
+    # State-independent dynamics that make the argmax walk a pure action-0
+    # chain: action 0 has much lower G (higher -G seed) and the exploration
+    # constant is tiny, so the chain deepens by one node per iteration.
+    def g_mean(agent, params, key, s0, pi0):
+        G = pi0 @ jnp.asarray([-1.0, 0.2, 0.3, 0.4])
+        return G, None, s0 * 0.9, None
+
+    def sim(agent, params, key, leaf_s, depth, use_means=False):
+        B = leaf_s.shape[0]
+        return jnp.zeros((B,)), None, jnp.full((B, A), 0.25)
+
+    monkeypatch.setattr(amcts.efe, "calculate_G_mean", g_mean)
+    monkeypatch.setattr(amcts.efe, "mcts_step_simulate", sim)
+
+    repeats, max_depth = 8, 3
+    p = MCTSParams(
+        repeats=repeats, threshold=1.1, C=0.01, max_depth=max_depth
+    )
+    res = amcts.active_inference_mcts(
+        MockAgent(), {}, jax.random.key(0), jnp.zeros((1, S_DIM)), p,
+        return_tree=True,
+    )
+    tree = res.tree
+    # Chain of slots along action 0: root=0 -> 1 -> 5 -> 9; node 9 is first
+    # expanded at iteration 2 and is the capped walk's endpoint afterwards.
+    node9_children = np.asarray(tree.children[0, 9])
+    assert list(node9_children) == [13, 14, 15, 16], node9_children
+    # Node 9 keeps exactly its seed visit (N=1 per edge): iterations 3..7
+    # must not re-seed it (old bug: +1 per capped iteration).
+    np.testing.assert_allclose(np.asarray(tree.N[0, 9]), np.ones(A))
+    # Backprop still credits the capped walks along the real path:
+    # root action 0 gets seed 1 + one visit per iteration.
+    assert float(tree.N[0, 0, 0]) == 1 + repeats
+    # node 5 (depth 2) is a path node from iteration 2 onward.
+    assert float(tree.N[0, 5, 0]) == 1 + (repeats - 2)
+
+
+def test_early_exit_matches_reference_when_all_decide_early(monkeypatch):
+    """The while_loop early exit (batched phase-B break) must leave results
+    identical to the reference per-env break semantics."""
+    monkeypatch.setattr(amcts.efe, "calculate_G_mean", mock_calculate_G_mean)
+    monkeypatch.setattr(amcts.efe, "mcts_step_simulate", mock_step_simulate)
+    rng = np.random.RandomState(7)
+    roots = rng.randn(4, S_DIM).astype(np.float32) * 0.5
+    p = MCTSParams(repeats=50, threshold=0.05, max_depth=16)
+    res = amcts.active_inference_mcts(
+        MockAgent(), {}, jax.random.key(0), jnp.asarray(roots), p
+    )
+    for b in range(4):
+        ref_path, ref_reps, ref_rootN = ref_mcts(
+            roots[b], p.repeats, p.threshold, p.C, False
+        )
+        got_len = int(res.lengths[b])
+        assert list(np.asarray(res.actions[b][:got_len])) == ref_path
+        assert int(res.repeats_done[b]) == ref_reps
+        np.testing.assert_allclose(np.asarray(res.root_N[b]), ref_rootN, rtol=1e-4)
+    # All envs decided well before the repeat budget: the loop exited early.
+    assert int(np.max(np.asarray(res.repeats_done))) < p.repeats
+
+
+def test_stochastic_selection_modes(monkeypatch):
+    """deterministic=False walks (reference mcts.py:53,58,101,106): sampled
+    selection/action walks run and the final action is drawn from the root
+    visit distribution rather than argmax."""
+    monkeypatch.setattr(amcts.efe, "calculate_G_mean", mock_calculate_G_mean)
+    monkeypatch.setattr(amcts.efe, "mcts_step_simulate", mock_step_simulate)
+    roots = np.random.RandomState(1).randn(2, S_DIM).astype(np.float32) * 0.5
+    p = MCTSParams(
+        repeats=10, threshold=1.1, max_depth=16,
+        deterministic_selection=False, deterministic_action=False,
+    )
+    first_actions = []
+    for seed in range(24):
+        res = amcts.active_inference_mcts(
+            MockAgent(), {}, jax.random.key(seed), jnp.asarray(roots), p
+        )
+        acts = np.asarray(res.actions)
+        lens = np.asarray(res.lengths)
+        assert np.all(acts[acts >= 0] < A)
+        if lens[0] > 0:
+            first_actions.append(int(acts[0, 0]))
+    # Sampling over visit counts: more than one distinct first action
+    # across seeds (argmax would be constant).
+    assert len(set(first_actions)) > 1, first_actions
+
+
 def test_real_agent_end_to_end_planner():
     """The planner must run with the real agent nets under jit."""
     from deep_active_inference_mc_tpu.infer.agent import ActiveInferenceAgent
