@@ -301,13 +301,149 @@ def run_interactive(demo: Demo, duration: int):
     plt.close(fig)
 
 
+def make_fused_round(agent, method: str, args, lut):
+    """One demo ROUND (100 frames) as a single jitted on-device scan.
+
+    The host-driven tick pays ~2 dispatches/frame over the device tunnel
+    (~6 ms each); at 100 steps/round that caps headless throughput at ~80
+    fps regardless of compute. This fuses the whole round — randomize
+    (keeping score), then 100x [plan-if-queue-empty -> step -> flush-on-
+    score] — into ONE dispatch, with the plan queue living on device.
+    Queue/flush semantics match Demo.tick exactly (test_demo.py:118-204)."""
+    mcts_params = mcts_lib.MCTSParams(
+        C=args.C,
+        threshold=args.threshold,
+        repeats=args.repeats,
+        simulation_depth=args.depth,
+        use_habit=not args.no_habit,
+        use_means=True,
+    )
+    jumps, steps, temp = args.jumps, args.steps, args.temperature
+    maxq = max(mcts_params.max_depth * jumps, steps * jumps, steps)
+
+    def plan(params, key, env):
+        """(queue, qlen) for one env from the current frame."""
+        o = env_lib.render(lut, env)
+        idx = jnp.arange(maxq, dtype=jnp.int32)
+        if method == "habit":
+            q_pi = agent.habitual_net(params, o)
+            pi = jax.random.categorical(
+                key, jnp.log(q_pi + 1e-20), axis=-1
+            ).astype(jnp.int32)[0]
+            return jnp.where(idx < steps, pi, -1), jnp.asarray(
+                steps, jnp.int32
+            )
+        if method == "mcts":
+            res = mcts_lib.active_inference_mcts(
+                agent, params, key, o, mcts_params
+            )
+            path, length = res.actions[0], res.lengths[0]
+            src = path[jnp.minimum(idx // jumps, path.shape[0] - 1)]
+            valid = (idx // jumps) < length
+            return (
+                jnp.where(valid, src, -1),
+                (length * jumps).astype(jnp.int32),
+            )
+        # ai / t1 / t12: k-step EFE softmax agents.
+        k_G, k_act = jax.random.split(key)
+        G, terms, _ = efe.calculate_G_4_repeated(
+            agent, params, k_G, o, steps=steps, calc_mean=args.mean,
+            samples=10,
+        )
+        t0, t1 = -terms[0], terms[1]
+        score = {"ai": -G, "t1": -t0, "t12": -(t0 + t1)}[method]
+        pi = jax.random.categorical(k_act, score / temp, axis=-1).astype(
+            jnp.int32
+        )[0]
+        n = steps * jumps
+        return jnp.where(idx < n, pi, -1), jnp.asarray(n, jnp.int32)
+
+    @jax.jit
+    def fused_round(params, key, env, queue, qlen):
+        k_rand, k_scan = jax.random.split(key)
+        score = env.score
+        env = env_lib.randomize(k_rand, env).replace(score=score)
+        qlen = jnp.zeros_like(qlen)  # round boundary clears the plan queue
+
+        def tick(carry, k):
+            env, queue, qlen = carry
+            k_plan, k_step = jax.random.split(k)
+            queue, qlen = jax.lax.cond(
+                qlen == 0,
+                lambda: plan(params, k_plan, env),
+                lambda: (queue, qlen),
+            )
+            stepped = qlen > 0
+            a = jnp.maximum(queue[0], 0)
+            env2, scored = env_lib.step(
+                k_step, env, jnp.asarray([a], jnp.int32)
+            )
+            env = jax.tree.map(
+                lambda new, old: jnp.where(stepped, new, old), env2, env
+            )
+            flush = stepped & scored[0]
+            qlen = jnp.where(
+                flush, 0, jnp.maximum(qlen - stepped.astype(jnp.int32), 0)
+            )
+            queue = jnp.roll(queue, -1)
+            return (env, queue, qlen), env.score[0]
+
+        (env, queue, qlen), trace = jax.lax.scan(
+            tick, (env, queue, qlen), jax.random.split(k_scan, DURATION_OF_ROUND)
+        )
+        return env, queue, qlen, trace
+
+    return fused_round, maxq
+
+
 def run_headless(demo: Demo, duration: int):
+    if demo.method in ("t1", "t12", "ai", "mcts", "habit"):
+        return run_headless_fused(demo, duration)
     t0 = time.time()
     for _ in range(duration):
         demo.tick()
     print(
         f"headless done: {duration} frames, score {demo.score:.3f}, "
         f"{duration / (time.time() - t0):.1f} fps, method={demo.method}",
+        flush=True,
+    )
+
+
+def run_headless_fused(demo: Demo, duration: int):
+    """Headless eval through the fused on-device round (one dispatch per 100
+    frames instead of ~2 per frame)."""
+    fused_round, maxq = make_fused_round(
+        demo.agent, demo.method, demo.args, demo.lut
+    )
+    env = demo.env
+    queue = jnp.full((maxq,), -1, jnp.int32)
+    qlen = jnp.asarray(0, jnp.int32)
+    key = demo.key
+    n_rounds = max(1, duration // DURATION_OF_ROUND)
+    t0 = None
+    for r in range(n_rounds):
+        key, k = jax.random.split(key)
+        env, queue, qlen, trace = fused_round(demo.params, k, env, queue, qlen)
+        if t0 is None:  # timing excludes the one-off XLA compile (round 0)
+            jax.block_until_ready(trace)
+            t0 = time.time()
+            compiled_rounds = 0
+        else:
+            compiled_rounds += 1
+        t_now = (r + 1) * DURATION_OF_ROUND
+        if t_now % DURATION_OF_EXPERIMENT == 0:
+            print(
+                f"{t_now} ROUND SCORE: {float(env.score[0]):.3f}", flush=True
+            )
+            env = env.replace(score=jnp.zeros((1,)))
+    jax.block_until_ready(env.score)
+    frames = compiled_rounds * DURATION_OF_ROUND
+    fps = frames / max(time.time() - t0, 1e-9)
+    demo.env = env
+    print(
+        f"headless done: {n_rounds * DURATION_OF_ROUND} frames, "
+        f"score {float(env.score[0]):.3f}, {fps:.1f} fps (steady-state), "
+        f"method={demo.method}",
         flush=True,
     )
 

