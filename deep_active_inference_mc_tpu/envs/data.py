@@ -44,7 +44,7 @@ def make_batch_active_inference(
     Returns (env', o0, o1, pi0 one-hot, log_Ppi)."""
     k_rand, k_G, k_act, k_step = jax.random.split(key, 4)
     env = env_lib.randomize(k_rand, env)
-    o0 = env_lib.render(lut, env)
+    o0 = env_lib.render_obs(lut, env, cfg.resolution)
 
     # EFE of all actions: the reference tiles o0 4x against the one-hot
     # action matrix (util.py:57-62); identical row layout (action fastest).
@@ -61,8 +61,11 @@ def make_batch_active_inference(
     actions = jax.random.categorical(k_act, jnp.log(Ppi + 1e-20), axis=-1)
     pi0 = jax.nn.one_hot(actions, agent.pi_dim, dtype=jnp.float32)
 
-    env, _ = env_lib.step_repeated(k_step, env, actions, repeats=cfg.repeats)
-    o1 = env_lib.render(lut, env)
+    env, _ = env_lib.step_repeated(
+        k_step, env, env_lib.to_env_actions(actions, agent.pi_dim),
+        repeats=cfg.repeats,
+    )
+    o1 = env_lib.render_obs(lut, env, cfg.resolution)
     return env, o0, o1, pi0, log_Ppi
 
 
@@ -76,16 +79,19 @@ def make_batch_random(
     Returns (env', o0, o1, pi0 one-hot, log_Ppi, S0_real, S1_real)."""
     k_rand, k_ppi, k_act, k_step = jax.random.split(key, 4)
     env = env_lib.randomize(k_rand, env)
-    o0 = env_lib.render(lut, env)
+    o0 = env_lib.render_obs(lut, env, cfg.resolution)
     S0_real = env_lib.ground_truth_factors(env)
 
-    ppi = jax.random.uniform(k_ppi, (env.batch, 4))
+    ppi = jax.random.uniform(k_ppi, (env.batch, cfg.pi_dim))
     ppi = ppi / jnp.sum(ppi, axis=-1, keepdims=True)
     actions = jax.random.categorical(k_act, jnp.log(ppi), axis=-1)
-    pi0 = jax.nn.one_hot(actions, 4, dtype=jnp.float32)
+    pi0 = jax.nn.one_hot(actions, cfg.pi_dim, dtype=jnp.float32)
 
-    env, _ = env_lib.step_repeated(k_step, env, actions, repeats=cfg.repeats)
-    o1 = env_lib.render(lut, env)
+    env, _ = env_lib.step_repeated(
+        k_step, env, env_lib.to_env_actions(actions, cfg.pi_dim),
+        repeats=cfg.repeats,
+    )
+    o1 = env_lib.render_obs(lut, env, cfg.resolution)
     S1_real = env_lib.ground_truth_factors(env)
     return env, o0, o1, pi0, jnp.log(ppi + 1e-20), S0_real, S1_real
 
@@ -101,12 +107,12 @@ def make_batch_random_reward_transitions(
     env = env_lib.reset(k_env, size)
     env = env_lib.randomize(k_env, env)
     env = env.replace(latents=env.latents.at[:, 5].set(31))
-    o0 = env_lib.render(lut, env)
+    o0 = env_lib.render_obs(lut, env, cfg.resolution)
 
-    actions = jnp.zeros((size,), jnp.int32)  # 'up'
+    actions = jnp.zeros((size,), jnp.int32)  # 'up' (index 0 in both action sets)
     env, _ = env_lib.step_repeated(k_step, env, actions, repeats=cfg.repeats)
-    o1 = env_lib.render(lut, env)
-    pi0 = jax.nn.one_hot(actions, 4, dtype=jnp.float32)
+    o1 = env_lib.render_obs(lut, env, cfg.resolution)
+    pi0 = jax.nn.one_hot(actions, cfg.pi_dim, dtype=jnp.float32)
     return o0, o1, pi0
 
 

@@ -201,6 +201,41 @@ def render(lut: jax.Array, state: EnvState) -> jax.Array:
     return raster.paint_reward_strip(frames, state.last_r)
 
 
+# 3-action (Animal-AI-style) variant: agent action space {0, 1, 2} maps to
+# env moves {up, left, right} — 'down' is dropped, and (1, 2) are the
+# opposite pair, matching the reference's pi_dim=3 trim rule
+# (/root/reference/src/mcts.py:119-124) and pi_one_hot_3
+# (torchmodel.py:164-165).
+ACTIONS_3 = (0, 2, 3)
+
+
+def to_env_actions(actions: jax.Array, pi_dim: int = 4) -> jax.Array:
+    """Map agent-space action indices to env moves for variant action sets."""
+    if pi_dim == 4:
+        return actions
+    if pi_dim == 3:
+        return jnp.asarray(ACTIONS_3, jnp.int32)[actions]
+    raise ValueError(f"Unknown pi_dim {pi_dim}")
+
+
+def render_obs(
+    lut: jax.Array, state: EnvState, resolution: int = 64
+) -> jax.Array:
+    """Render observations at the configured resolution.
+
+    64: the reference dSprites frame (``render``). 32: the Animal-AI-style
+    variant (torchmodel.py:77-82) — 2x2 max-pool of the binary sprite frame
+    (keeps it binary), reward strip painted at 32-res."""
+    if resolution == 64:
+        return render(lut, state)
+    if resolution == 32:
+        frames = raster.render_sprites(lut, state.latents)
+        B = frames.shape[0]
+        pooled = frames.reshape(B, 32, 2, 32, 2, 1).max(axis=(2, 4))
+        return raster.paint_reward_strip(pooled, state.last_r)
+    raise ValueError(f"Unknown resolution {resolution}")
+
+
 def ground_truth_factors(state: EnvState) -> jax.Array:
     """(B, 6) [shape, scale, orientation, posX, posY, last_r] — the eval
     ground truth used for disentanglement metrics (util.py:14-17: S_real is

@@ -214,16 +214,19 @@ def render_sprites_slice(lut: jax.Array, latents: jax.Array) -> jax.Array:
 def paint_reward_strip(frames: jax.Array, last_r: jax.Array) -> jax.Array:
     """Overwrite the 3-row reward strip (reference: game_environment.py:48-53).
 
-    If last_r in [0, 1]: rows 0-2, cols 0-31 := last_r (right half keeps the
-    sprite). If last_r in [-1, 0): rows 0-2, cols 32-63 := -last_r.
+    If last_r in [0, 1]: rows 0-2, left half := last_r (right half keeps the
+    sprite). If last_r in [-1, 0): rows 0-2, right half := -last_r. Works at
+    any frame resolution (the 32-res Animal-AI-style variant paints the same
+    3-row strip over 16-column halves — torchutils' calc_reward_animalai
+    semantics, torchmodel.py:214).
     """
-    B = frames.shape[0]
+    B, H, W = frames.shape[0], frames.shape[1], frames.shape[2]
     r = last_r.reshape(B, 1, 1, 1)
-    rows = jnp.arange(RES).reshape(1, RES, 1, 1)
-    cols = jnp.arange(RES).reshape(1, 1, RES, 1)
+    rows = jnp.arange(H).reshape(1, H, 1, 1)
+    cols = jnp.arange(W).reshape(1, 1, W, 1)
     strip = rows < 3
-    left = strip & (cols < RES // 2)
-    right = strip & (cols >= RES // 2)
+    left = strip & (cols < W // 2)
+    right = strip & (cols >= W // 2)
     frames = jnp.where(left & (r >= 0.0), r, frames)
     frames = jnp.where(right & (r < 0.0), -r, frames)
     return frames

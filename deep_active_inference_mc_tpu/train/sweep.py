@@ -72,11 +72,13 @@ def _controller_actions(
     return jax.random.categorical(k_act, score / temperature, axis=-1)
 
 
-def _make_render_fn(lut: jax.Array, mesh):
+def _make_render_fn(lut: jax.Array, mesh, resolution: int = 64):
     """Frame renderer for the sweep. With a mesh on TPU, the fused Pallas
     kernel runs per-shard under shard_map (a pallas_call has no SPMD
     partitioning rule, so the auto-partitioner can't split it itself);
     otherwise the XLA render path partitions automatically."""
+    if resolution != 64:
+        return lambda env: env_lib.render_obs(lut, env, resolution)
     if mesh is not None and jax.default_backend() == "tpu":
         from jax.sharding import PartitionSpec as P
 
@@ -117,7 +119,7 @@ def make_sweep(
         raise ValueError(f"method {method!r} not in {METHODS}")
     if mcts_params is None:
         mcts_params = mcts_lib.MCTSParams(repeats=50, max_depth=16)
-    render_fn = _make_render_fn(lut, mesh)
+    render_fn = _make_render_fn(lut, mesh, cfg.resolution)
 
     @jax.jit
     def sweep(params: Params, key: jax.Array, env: env_lib.EnvState):
@@ -130,6 +132,11 @@ def make_sweep(
                 agent, params, k_plan, o, env, method, steps, samples,
                 temperature, mcts_params,
             )
+            # The expert acts in env space (it reads ground-truth state);
+            # agent controllers (and the random baseline) act in the
+            # possibly-3-action agent space and map to env moves.
+            if method != "expert":
+                a = env_lib.to_env_actions(a, agent.pi_dim)
             env, scored = env_lib.step_repeated(k_step, env, a, repeats=jumps)
             return env, scored.sum()
 

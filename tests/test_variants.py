@@ -54,6 +54,80 @@ def test_three_action_habit_and_sim():
     np.testing.assert_allclose(np.asarray(q_root.sum(-1)), 1.0, rtol=1e-5)
 
 
+def test_three_action_32res_smoke_training():
+    """End-to-end *training* in the Animal-AI-style config
+    (torchmodel.py:77-82,164-165): two tiny epochs of the full fused loop
+    (data gen + 3 staged updates) at resolution 32 / pi_dim 3, plus the
+    eval pass and a 3-action sweep — no NaNs anywhere."""
+    from deep_active_inference_mc_tpu.config import Config
+    from deep_active_inference_mc_tpu.envs import raster
+    from deep_active_inference_mc_tpu.train import loop as train_loop
+    from deep_active_inference_mc_tpu.train import sweep as sweep_lib
+    from deep_active_inference_mc_tpu.train.evaluate import make_jit_eval
+
+    cfg = Config(
+        resolution=32, pi_dim=3, batch=4, rounds=2, test_size=8,
+        samples=1, repeats=2,
+    )
+    agent = ActiveInferenceAgent(
+        s_dim=cfg.s_dim, pi_dim=cfg.pi_dim, resolution=cfg.resolution
+    )
+    lut = raster.build_sprite_lut()
+    state = train_loop.create_train_state(cfg, agent, jax.random.key(0))
+    epoch_fn = train_loop.make_jit_epoch(agent, cfg, lut, cfg.rounds)
+
+    metrics = None
+    for e in range(2):
+        state, metrics = epoch_fn(state, jax.random.key(10 + e))
+    for k, v in metrics.items():
+        assert np.all(np.isfinite(np.asarray(v))), (k, v)
+
+    ev = make_jit_eval(agent, cfg, lut)(
+        state.params, state.precision, jax.random.key(3)
+    )
+    assert ev["o0"].shape[1:] == (32, 32, 1)
+    assert np.isfinite(float(ev["F"]))
+    assert np.isfinite(float(ev["mse_r"]))
+
+    sweep = sweep_lib.make_sweep(
+        agent, cfg, lut, method="ai", n_macro_steps=3, jumps=2
+    )
+    from deep_active_inference_mc_tpu.envs import dsprites as env_lib
+
+    env = env_lib.randomize(jax.random.key(4), env_lib.reset(jax.random.key(4), 8))
+    sc = sweep(state.params, jax.random.key(5), env)
+    assert np.isfinite(float(sc["score_mean"]))
+
+
+def test_to_env_actions_mapping():
+    from deep_active_inference_mc_tpu.envs import dsprites as env_lib
+
+    a3 = jnp.asarray([0, 1, 2], jnp.int32)
+    np.testing.assert_array_equal(
+        np.asarray(env_lib.to_env_actions(a3, 3)), [0, 2, 3]
+    )  # up, left, right — 'down' unreachable; (1,2) are the opposite pair
+    a4 = jnp.asarray([0, 1, 2, 3], jnp.int32)
+    np.testing.assert_array_equal(
+        np.asarray(env_lib.to_env_actions(a4, 4)), [0, 1, 2, 3]
+    )
+
+
+def test_render_obs_32():
+    from deep_active_inference_mc_tpu.envs import dsprites as env_lib
+    from deep_active_inference_mc_tpu.envs import raster
+
+    lut = raster.build_sprite_lut()
+    env = env_lib.randomize(jax.random.key(0), env_lib.reset(jax.random.key(0), 3))
+    env = env.replace(last_r=jnp.asarray([0.5, -0.5, 0.0]))
+    o = np.asarray(env_lib.render_obs(lut, env, 32))
+    assert o.shape == (3, 32, 32, 1)
+    # reward strip at 32-res: rows 0-2, left half positive / right negative.
+    np.testing.assert_allclose(o[0, 0:3, 0:16, 0], 0.5)
+    np.testing.assert_allclose(o[1, 0:3, 16:32, 0], 0.5)
+    # binary sprite content survives the max-pool.
+    assert set(np.unique(o[2])) <= {0.0, 1.0}
+
+
 def test_compute_kl_div_pi():
     agent = ActiveInferenceAgent(s_dim=10, pi_dim=4)
     params = agent.init(jax.random.key(0))
