@@ -22,6 +22,12 @@ STATS_KEYS = [
     "kl_div_s_naive_anal", "score", "train_scores_m",
     "train_scores_std", "train_scores_sem", "train_scores_min",
     "train_scores_max", "mse_o_clean",
+    # On-policy (training) habit KL vs the softmax(-G) targets — the series
+    # omega actually responds to (train.py:118). The reference's eval
+    # kl_div_pi is computed against ONE-HOT random-policy eval actions
+    # (train.py:139), which pins it near -0.75*log(1e-15) ~ 24.5 for any
+    # near-uniform habit: habit sharpening must be read from this series.
+    "kl_div_pi_train",
 ]
 
 

@@ -53,7 +53,14 @@ def stats_plot(stats, filename):
     ax.set_xlabel("epochs")
     ax.legend(fontsize=6)
 
-    logpanel(9, "KL(pi)").plot(stats["kl_div_pi"], "y", label="kl_pi")
+    ax = logpanel(9, "KL(pi)")
+    ax.plot(stats["kl_div_pi"], "y", label="kl_pi (eval, one-hot pinned)")
+    if stats.get("kl_div_pi_train"):
+        ax.plot(stats["kl_div_pi_train"], "m", label="kl_pi (train targets)")
+        n = max(len(stats["kl_div_pi_train"]), 1)
+        b = stats["var_b"][-1] if stats.get("var_b") else 25.0
+        ax.plot([0, n], [b] * 2, "k--", lw=0.8, label="omega midpoint b")
+    ax.legend(fontsize=5)
 
     ax = plt.subplot(4, 4, 10)
     ax.set_ylabel("KL pi dims")
