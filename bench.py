@@ -111,6 +111,29 @@ def bench_mcts_plans(agent, params, lut):
     return B * reps / dt
 
 
+def bench_train_round(lut):
+    """The fused act->plan->step->train round (data gen + 3 staged Adam
+    updates) at the flagship batch — env steps/sec INSIDE training."""
+    from deep_active_inference_mc_tpu.config import Config
+    from deep_active_inference_mc_tpu.train import loop as train_loop
+
+    cfg = Config(batch=512)
+    agent = ActiveInferenceAgent(s_dim=cfg.s_dim, pi_dim=cfg.pi_dim)
+    state = train_loop.create_train_state(cfg, agent, jax.random.key(0))
+    rounds = 16
+    epoch_fn = train_loop.make_jit_epoch(agent, cfg, lut, rounds)
+
+    state, metrics = epoch_fn(state, jax.random.key(1))
+    jax.block_until_ready(metrics["F_down"])
+    t0 = time.perf_counter()
+    reps = 3
+    for i in range(reps):
+        state, metrics = epoch_fn(state, jax.random.key(2 + i))
+    jax.block_until_ready(metrics["F_down"])
+    dt = time.perf_counter() - t0
+    return cfg.batch * cfg.repeats * rounds * reps / dt
+
+
 def main():
     lut = raster.build_sprite_lut()
     agent = ActiveInferenceAgent(s_dim=10, pi_dim=4)
@@ -119,11 +142,13 @@ def main():
     env_sps = bench_env_steps(lut)
     efe_rps = bench_efe_rollouts(agent, params, lut)
     mcts_pps = bench_mcts_plans(agent, params, lut)
+    train_sps = bench_train_round(lut)
 
     print(
         f"env_steps/s: {env_sps:.3e} (target {TARGET_ENV_STEPS:.0e}), "
         f"efe_rollouts/s: {efe_rps:.3e} (target {TARGET_EFE_ROLLOUTS:.0e}), "
-        f"mcts_plans/s: {mcts_pps:.3e} (50 expansions, depth-3 sims)",
+        f"mcts_plans/s: {mcts_pps:.3e} (50 expansions, depth-3 sims), "
+        f"train_env_steps/s: {train_sps:.3e} (batch-512 fused round)",
         file=sys.stderr,
     )
     print(
@@ -136,6 +161,7 @@ def main():
                 "efe_rollouts_per_sec": efe_rps,
                 "efe_vs_baseline": efe_rps / TARGET_EFE_ROLLOUTS,
                 "mcts_plans_per_sec": mcts_pps,
+                "train_env_steps_per_sec": train_sps,
             }
         )
     )

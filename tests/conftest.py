@@ -12,10 +12,18 @@ overridden. ``jax.config.update`` after import wins.
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"  # best effort; config below is binding
+if os.environ.get("DAIF_TPU_TESTS"):
+    # Escape hatch for hardware-gated tests (e.g. compiled-Pallas parity,
+    # tests/test_pallas_render.py): keep the real TPU platform. Run these
+    # only with the TPU tunnel free (one process at a time).
+    import jax
 
-import jax  # noqa: E402
+    jax.config.update("jax_threefry_partitionable", True)
+else:
+    os.environ["JAX_PLATFORMS"] = "cpu"  # best effort; config below is binding
 
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_num_cpu_devices", 8)
-jax.config.update("jax_threefry_partitionable", True)
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 8)
+    jax.config.update("jax_threefry_partitionable", True)

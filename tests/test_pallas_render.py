@@ -40,3 +40,26 @@ def test_dispatcher_cpu_fallback(lut):
     state = env_lib.reset(jax.random.key(0), 8)
     o = env_lib.render(lut, state)
     assert o.shape == (8, 64, 64, 1)
+
+
+@pytest.mark.skipif(
+    jax.default_backend() != "tpu",
+    reason="compiled-kernel parity needs real TPU hardware "
+    "(run: JAX_PLATFORMS='' pytest tests/test_pallas_render.py -k compiled)",
+)
+def test_compiled_kernel_matches_xla_on_tpu(lut):
+    """The COMPILED Pallas kernel (not interpret mode) must match the XLA
+    shift-matrix render bit-for-bit on hardware — the exact configuration
+    the env dispatcher selects (_pallas_render_eligible)."""
+    state = env_lib.randomize(
+        jax.random.key(7), env_lib.reset(jax.random.key(6), prender.BLK * 4)
+    )
+    assert env_lib._pallas_render_eligible(state.batch)
+    xla = raster.paint_reward_strip(
+        raster.render_sprites(lut, state.latents), state.last_r
+    )
+    pk = prender.render_frames(state.latents, state.last_r)
+    np.testing.assert_array_equal(np.asarray(xla), np.asarray(pk))
+    # and the dispatcher actually routes to the kernel on this config
+    via_dispatch = env_lib.render(lut, state)
+    np.testing.assert_array_equal(np.asarray(pk), np.asarray(via_dispatch))
