@@ -1,0 +1,19 @@
+#!/bin/bash
+# Snapshot the latest training checkpoint + stats/plots into the git-tracked
+# artifacts/ dir and commit. The workspace resets to git state between build
+# rounds, so anything not committed (runs/ is gitignored) is lost.
+set -e
+cd "$(dirname "$0")/.."
+RUN=${1:-runs/figs_final_model_0.01_30_1.0_512_10_5}
+DST=artifacts/run512
+mkdir -p "$DST"
+rsync -a --delete "$RUN/checkpoints/" "$DST/checkpoints/"
+cp "$RUN"/1_result_*.png "$DST/" 2>/dev/null || true
+cp "$RUN"/config.json "$DST/" 2>/dev/null || true
+# latest viz artifacts only (keep the snapshot bounded)
+ls "$RUN"/traversals_at_epoch_*.png 2>/dev/null | tail -1 | xargs -r -I{} cp {} "$DST/"
+ls "$RUN"/imagination_*.png 2>/dev/null | tail -1 | xargs -r -I{} cp {} "$DST/"
+ls "$RUN"/reward_imagination_*.png 2>/dev/null | tail -1 | xargs -r -I{} cp {} "$DST/"
+EPOCH=$(grep -c . train512.log 2>/dev/null || echo "?")
+git add -A "$DST"
+git commit -q -m "training snapshot: $(tail -1 train512.log | cut -c1-120)" || echo "nothing to commit"
