@@ -106,6 +106,7 @@ def main(argv=None):
     decode_fn = jax.jit(lambda p, s: agent.decode(p, s))
 
     start_time = time.time()
+    saver = ckpt.AsyncSaver()
     try:
         for epoch in range(start_epoch, cfg.epochs + 1):
             # gamma annealing (train.py:101-102).
@@ -124,8 +125,9 @@ def main(argv=None):
             env_sps = cfg.batch * cfg.repeats * cfg.rounds / (time.time() - epoch_t0)
 
             if epoch % cfg.save_every == 0:
-                ckpt.save_all(folder_chp, state, stats, key, script_file=__file__)
+                saver.save(folder_chp, state, stats, key, script_file=__file__)
             if epoch % cfg.archive_every == 0:
+                saver.wait()  # the archive copies the checkpoint dir
                 ckpt.archive(folder_chp, epoch)
 
             # ---- evaluation (train.py:136-146) --------------------------------
@@ -217,8 +219,10 @@ def main(argv=None):
         # an interrupt saves a resumable checkpoint instead of
         # losing up to save_every epochs of work.
         print("Interrupted — saving checkpoint for --resume", flush=True)
+        saver.wait()
         ckpt.save_all(folder_chp, state, stats, key, script_file=__file__)
         raise SystemExit(130)
+    saver.wait()
 
 
 if __name__ == "__main__":

@@ -19,8 +19,9 @@ from __future__ import annotations
 
 import pickle
 import shutil
+import threading
 from pathlib import Path
-from typing import Any, Dict, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import numpy as np
@@ -37,25 +38,15 @@ def _to_host(tree):
     return jax.tree.map(lambda x: np.asarray(x), tree)
 
 
-def save_all(
-    folder_chp: Path,
-    state: Any,
-    stats: Dict,
-    rng_key: jax.Array,
-    script_file: str = "",
+def _write_payload(
+    folder_chp: Path, payload: Dict, stats: Dict, script_file: str
 ) -> None:
-    """Full checkpoint: Orbax state + stats.pkl + source snapshot."""
-    folder_chp = Path(folder_chp).resolve()
+    """Disk half of a checkpoint save (host arrays already materialized)."""
     folder_chp.mkdir(parents=True, exist_ok=True)
-
     ckpt_dir = folder_chp / "state"
     if ckpt_dir.exists():
         shutil.rmtree(ckpt_dir)
     with ocp.StandardCheckpointer() as ckptr:
-        payload = {
-            "state": _to_host(state),
-            "rng_key": np.asarray(jax.random.key_data(rng_key)),
-        }
         ckptr.save(ckpt_dir, payload)
 
     with open(folder_chp / "stats.pkl", "wb") as f:
@@ -69,6 +60,65 @@ def save_all(
             shutil.copyfile(src, folder_chp / src.name)
     if script_file and Path(script_file).exists():
         shutil.copyfile(script_file, folder_chp / Path(script_file).name)
+
+
+def save_all(
+    folder_chp: Path,
+    state: Any,
+    stats: Dict,
+    rng_key: jax.Array,
+    script_file: str = "",
+) -> None:
+    """Full checkpoint: Orbax state + stats.pkl + source snapshot."""
+    folder_chp = Path(folder_chp).resolve()
+    payload = {
+        "state": _to_host(state),
+        "rng_key": np.asarray(jax.random.key_data(rng_key)),
+    }
+    _write_payload(folder_chp, payload, stats, script_file)
+
+
+class AsyncSaver:
+    """Checkpoint saver with an asynchronous disk write.
+
+    The device->host transfer happens synchronously in ``save`` (the
+    TrainState buffers are donated into the next epoch's scan, so they must
+    be materialized before the next dispatch); the Orbax/pickle disk write —
+    the expensive half, ~6 s per save at batch 512 — runs on a background
+    thread. At most one write is in flight; ``wait()`` before reading the
+    checkpoint dir (archive/resume) or exiting."""
+
+    def __init__(self) -> None:
+        self._thread: Optional[threading.Thread] = None
+
+    def save(
+        self,
+        folder_chp: Path,
+        state: Any,
+        stats: Dict,
+        rng_key: jax.Array,
+        script_file: str = "",
+    ) -> None:
+        self.wait()
+        folder_chp = Path(folder_chp).resolve()
+        payload = {
+            "state": _to_host(state),
+            "rng_key": np.asarray(jax.random.key_data(rng_key)),
+        }
+        # Snapshot the (host-side, append-only) stats lists: the main thread
+        # keeps appending while the writer pickles.
+        stats_copy = {k: list(v) for k, v in stats.items()}
+        self._thread = threading.Thread(
+            target=_write_payload,
+            args=(folder_chp, payload, stats_copy, script_file),
+            daemon=True,
+        )
+        self._thread.start()
+
+    def wait(self) -> None:
+        if self._thread is not None and self._thread.is_alive():
+            self._thread.join()
+        self._thread = None
 
 
 def load_all(
