@@ -7,7 +7,8 @@ cd "$(dirname "$0")/.."
 RUN=${1:-runs/figs_final_model_0.01_30_1.0_512_10_5}
 DST=artifacts/run512
 mkdir -p "$DST"
-rsync -a --delete "$RUN/checkpoints/" "$DST/checkpoints/"
+rm -rf "$DST/checkpoints"
+cp -r "$RUN/checkpoints" "$DST/checkpoints"
 cp "$RUN"/1_result_*.png "$DST/" 2>/dev/null || true
 cp "$RUN"/config.json "$DST/" 2>/dev/null || true
 # latest viz artifacts only (keep the snapshot bounded)
