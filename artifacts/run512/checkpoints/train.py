@@ -143,7 +143,6 @@ def main(argv=None):
             stats["kl_div_s_naive_anal"].append(np.asarray(ev["kl_div_s_naive_anal"]))
             stats["omega"].append(train_metrics["omega"])
             stats["omega_std"].append(train_metrics["omega_std"])
-            stats["kl_div_pi_train"].append(train_metrics["kl_pi"])
             stats["kl_div_pi"].append(float(ev["kl_div_pi"]))
             stats["kl_div_pi_min"].append(float(ev["kl_div_pi_min"]))
             stats["kl_div_pi_max"].append(float(ev["kl_div_pi_max"]))
