@@ -7,8 +7,17 @@ cd "$(dirname "$0")/.."
 RUN=${1:-runs/figs_final_model_0.01_30_1.0_512_10_5}
 DST=artifacts/run512
 mkdir -p "$DST"
+# While the trainer is live, checkpoints/ is rmtree'd+rewritten by the async
+# saver every save_every epochs — copying it races. Prefer the newest
+# immutable checkpoints_epoch_N archive; fall back to the live dir only when
+# no trainer is running (round-end snapshot after SIGINT).
+SRC="$RUN/checkpoints"
+if [ -f /tmp/train512.pid ] && kill -0 "$(cat /tmp/train512.pid)" 2>/dev/null; then
+  NEWEST=$(ls -d "$RUN"/checkpoints_epoch_* 2>/dev/null | sort -t_ -k3 -n | tail -1)
+  [ -n "$NEWEST" ] && SRC="$NEWEST"
+fi
 rm -rf "$DST/checkpoints"
-cp -r "$RUN/checkpoints" "$DST/checkpoints"
+cp -r "$SRC" "$DST/checkpoints"
 cp "$RUN"/1_result_*.png "$DST/" 2>/dev/null || true
 cp "$RUN"/config.json "$DST/" 2>/dev/null || true
 # latest viz artifacts only (keep the snapshot bounded)
