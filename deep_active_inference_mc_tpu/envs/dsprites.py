@@ -177,16 +177,13 @@ def step_repeated(
 
 
 def _pallas_render_eligible(batch: int) -> bool:
-    """Use the fused Pallas kernel on a single TPU chip with block-aligned
-    batches; the XLA shift-matrix path covers CPU and multi-device meshes
-    (pallas_call has no SPMD partitioning rule)."""
+    """Use the fused Pallas kernel on TPU with block-aligned batches; the
+    XLA shift-matrix path covers CPU. Multi-device meshes are handled by the
+    kernel's custom_partitioning rule (each device renders its batch shard;
+    ops/pallas/render.py)."""
     from deep_active_inference_mc_tpu.ops.pallas import render as prender
 
-    return (
-        jax.default_backend() == "tpu"
-        and jax.device_count() == 1
-        and batch % prender.BLK == 0
-    )
+    return jax.default_backend() == "tpu" and batch % prender.BLK == 0
 
 
 def render(lut: jax.Array, state: EnvState) -> jax.Array:

@@ -179,9 +179,17 @@ def render_sprites(lut: jax.Array, latents: jax.Array) -> jax.Array:
     as shift-matrix matmuls on the MXU (see _shift_selectors).
     """
     idx = sprite_index(latents)
-    base = lut[idx]  # (B, 96, 96) row gather
     row0 = (CENTER - POS_OFFSET) - latents[..., 5]  # 32 - posY
     col0 = (CENTER - POS_OFFSET) - latents[..., 4]  # 32 - posX
+    return render_sprites_from_index(lut, idx, row0, col0)
+
+
+def render_sprites_from_index(
+    lut: jax.Array, idx: jax.Array, row0: jax.Array, col0: jax.Array
+) -> jax.Array:
+    """Shift-matrix render from a precomputed sprite index + window offsets
+    (the form the Pallas kernel's SPMD fallback already holds)."""
+    base = lut[idx]  # (B, 96, 96) row gather
     r_sel_np, c_sel_np = _shift_selectors()
     r_sel = jnp.asarray(r_sel_np)
     c_sel = jnp.asarray(c_sel_np)

@@ -11,9 +11,11 @@ written back — the speed-of-light memory traffic for this op.
 Measured (TPU v5e, 4096 envs, BLK=32): 4.7e6 env step+renders/s vs 2.9e6 for
 the XLA matmul render — at the DMA throughput ceiling for 24 KB windows.
 
-Not auto-partitionable: a pallas_call has no SPMD partitioning rule, so the
-multi-device mesh path keeps the XLA render (envs/raster.py); the dispatcher
-in envs.dsprites.render picks per-context.
+SPMD: a bare pallas_call has no partitioning rule, so under a multi-device
+mesh XLA would force-gather the batch. ``render_frames`` is wrapped in
+``custom_partitioning`` with a batch-factor sharding rule: each device runs
+the kernel on its local batch shard (falling back to the XLA shift-matrix
+render for shards not BLK-aligned), so sharded fleets keep the fused path.
 """
 
 from __future__ import annotations
@@ -24,7 +26,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
+from jax.experimental.custom_partitioning import custom_partitioning
 from jax.experimental.pallas import tpu as pltpu
+from jax.sharding import NamedSharding
+from jax.sharding import PartitionSpec as P
 
 from deep_active_inference_mc_tpu.envs import raster
 
@@ -78,18 +83,106 @@ def _kernel(idx_ref, r0_ref, c0_ref, lastr_ref, lut_ref, out_ref,
         out_ref[e] = window
 
 
+def _interpret_active() -> bool:
+    """True inside pltpu.force_tpu_interpret_mode() (tests on CPU). The
+    interpreter lowers pallas_call to an effectful io_callback, which
+    custom_partitioning cannot lower — interpret runs bypass the cp wrapper."""
+    from jax._src import config as _jcfg
+
+    return _jcfg.pallas_tpu_interpret_mode_context_manager.value is not None
+
+
+def _render_local(idx, r0, c0, last_r, lut):
+    """Per-device render: the Pallas kernel for BLK-aligned local batches on
+    TPU (or under the interpreter), an XLA slice render otherwise (CPU
+    shards inside the cp rule, or a mesh splitting a BLK-aligned global
+    batch into unaligned shards). Must stay **const-free**: this is the
+    custom_partitioning call body, which may not close over array constants
+    (hence iota/dynamic_slice instead of the numpy shift-selector render)."""
+    B = idx.shape[0]
+    use_pallas = B % BLK == 0 and (
+        jax.default_backend() == "tpu" or _interpret_active()
+    )
+    if not use_pallas:
+        base = lut[idx, :, : raster.CANVAS]  # (B, 96, 96)
+
+        def slice_one(img, r, c):
+            return jax.lax.dynamic_slice(img, (r, c), (RES, RES))
+
+        window = jax.vmap(slice_one)(base, r0, c0)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (RES, RES), 0)[None]
+        cols = jax.lax.broadcasted_iota(jnp.int32, (RES, RES), 1)[None]
+        r = last_r[:, None, None]
+        left = (rows < 3) & (cols < RES // 2)
+        right = (rows < 3) & (cols >= RES // 2)
+        window = jnp.where(left & (r >= 0.0), r, window)
+        window = jnp.where(right & (r < 0.0), -r, window)
+        return window
+    return _pallas_render(idx, r0, c0, last_r, lut)
+
+
+@custom_partitioning
+def _render_cp(idx, r0, c0, last_r, lut):
+    return _render_local(idx, r0, c0, last_r, lut)
+
+
+def _batch_spec(sharding) -> P:
+    spec = getattr(sharding, "spec", None)
+    return spec[0] if spec is not None and len(spec) else None
+
+
+def _infer_sharding(mesh, arg_infos, result_infos):
+    b = _batch_spec(arg_infos[0].sharding)
+    return NamedSharding(mesh, P(b, None, None))
+
+
+def _partition(mesh, arg_infos, result_infos):
+    b = _batch_spec(arg_infos[0].sharding)
+    arg_shardings = (
+        NamedSharding(mesh, P(b)),
+        NamedSharding(mesh, P(b)),
+        NamedSharding(mesh, P(b)),
+        NamedSharding(mesh, P(b)),
+        NamedSharding(mesh, P(None, None, None)),  # LUT replicated
+    )
+    out_sharding = NamedSharding(mesh, P(b, None, None))
+    return mesh, _render_local, out_sharding, arg_shardings
+
+
+_render_cp.def_partition(
+    partition=_partition,
+    infer_sharding_from_operands=_infer_sharding,
+    # shardy factor rule: batch rides through; frame dims are fresh.
+    sharding_rule="b, b, b, b, u v w -> b i j",
+)
+
+
 @functools.partial(jax.jit, static_argnames=())
 def render_frames(latents: jax.Array, last_r: jax.Array) -> jax.Array:
     """(B, 64, 64, 1) frames with reward strip, fully fused.
 
-    Requires B % 8 == 0 (use ``envs.dsprites.render`` for odd sizes)."""
+    Requires global B % BLK == 0 (use ``envs.dsprites.render`` for odd
+    sizes). Batch-sharded inputs stay sharded: each device renders its own
+    shard (custom_partitioning rule above)."""
     B = latents.shape[0]
     assert B % BLK == 0, B
     lut = jnp.asarray(_padded_lut_np())
     idx = raster.sprite_index(latents).astype(jnp.int32)
     r0 = (raster.CENTER - raster.POS_OFFSET) - latents[..., 5]
     c0 = (raster.CENTER - raster.POS_OFFSET) - latents[..., 4]
+    args = (
+        idx,
+        r0.astype(jnp.int32),
+        c0.astype(jnp.int32),
+        last_r.astype(jnp.float32),
+        lut,
+    )
+    fn = _render_local if _interpret_active() else _render_cp
+    return fn(*args)[..., None]
 
+
+def _pallas_render(idx, r0, c0, last_r, lut):
+    B = idx.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(B // BLK,),
@@ -103,10 +196,8 @@ def render_frames(latents: jax.Array, last_r: jax.Array) -> jax.Array:
             pltpu.SemaphoreType.DMA((BLK,)),
         ],
     )
-    frames = pl.pallas_call(
+    return pl.pallas_call(
         _kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, RES, RES), jnp.float32),
-    )(idx, r0.astype(jnp.int32), c0.astype(jnp.int32),
-      last_r.astype(jnp.float32), lut)
-    return frames[..., None]
+    )(idx, r0, c0, last_r, lut)

@@ -34,6 +34,10 @@ def test_render_paths_agree(lut):
     np.testing.assert_array_equal(np.asarray(mm), np.asarray(pk))
 
 
+@pytest.mark.skipif(
+    jax.default_backend() == "tpu",
+    reason="CPU-dispatch test; on TPU the kernel is eligible by design",
+)
 def test_dispatcher_cpu_fallback(lut):
     """On CPU the dispatcher must take the XLA path and still render."""
     assert not env_lib._pallas_render_eligible(prender.BLK)
@@ -63,3 +67,28 @@ def test_compiled_kernel_matches_xla_on_tpu(lut):
     # and the dispatcher actually routes to the kernel on this config
     via_dispatch = env_lib.render(lut, state)
     np.testing.assert_array_equal(np.asarray(pk), np.asarray(via_dispatch))
+
+
+def test_spmd_sharded_render_matches_xla(lut):
+    """custom_partitioning rule: batch-sharded inputs over the 8-device mesh
+    render shard-locally (no gather), stay sharded on the batch axis, and
+    match the XLA render bit-for-bit — including when the mesh splits a
+    BLK-aligned global batch into non-BLK-aligned local shards."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+    for global_batch in (prender.BLK * 8, prender.BLK):  # local 32 and 4
+        state = env_lib.randomize(
+            jax.random.key(global_batch),
+            env_lib.reset(jax.random.key(0), global_batch),
+        )
+        ref = raster.paint_reward_strip(
+            raster.render_sprites(lut, state.latents), state.last_r
+        )
+        lat = jax.device_put(
+            state.latents, NamedSharding(mesh, P("data", None))
+        )
+        lr = jax.device_put(state.last_r, NamedSharding(mesh, P("data")))
+        out = jax.jit(prender.render_frames)(lat, lr)
+        assert out.sharding.spec == P("data")
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))
