@@ -135,6 +135,9 @@ def bench_train_round(lut):
 
 
 def main():
+    from deep_active_inference_mc_tpu.utils import compcache
+
+    compcache.enable_persistent_cache()
     lut = raster.build_sprite_lut()
     agent = ActiveInferenceAgent(s_dim=10, pi_dim=4)
     params = agent.init(jax.random.key(0))

@@ -449,6 +449,9 @@ def run_headless_fused(demo: Demo, duration: int):
 
 
 def main(argv=None):
+    from deep_active_inference_mc_tpu.utils import compcache
+
+    compcache.enable_persistent_cache()
     parser = argparse.ArgumentParser(description="Interactive demo.")
     parser.add_argument("-n", "--network", type=str, default="",
                         help="Checkpoint dir (figs_*/checkpoints) to load.")

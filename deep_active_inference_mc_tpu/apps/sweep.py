@@ -28,6 +28,9 @@ from deep_active_inference_mc_tpu.utils import checkpoint as ckpt
 
 
 def main(argv=None):
+    from deep_active_inference_mc_tpu.utils import compcache
+
+    compcache.enable_persistent_cache()
     parser = argparse.ArgumentParser(description="Batched agent sweep.")
     parser.add_argument("-n", "--network", type=str, default="",
                         help="Checkpoint dir to load (untrained if empty).")

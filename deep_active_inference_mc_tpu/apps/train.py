@@ -42,6 +42,9 @@ from deep_active_inference_mc_tpu.viz.stats_plot import stats_plot
 
 
 def main(argv=None):
+    from deep_active_inference_mc_tpu.utils import compcache
+
+    compcache.enable_persistent_cache()
     parser = argparse.ArgumentParser(add_help=False)
     parser.add_argument("-r", "--resume", action="store_true")
     parser.add_argument("-b", "--batch", type=int, default=None)
@@ -66,15 +69,17 @@ def main(argv=None):
     )
     lut = raster.build_sprite_lut()
 
-    # Multi-chip data parallelism: Config.mesh_shape > 1 pins env batches to
-    # the mesh's 'data' axis, replicates params/optimizer state, and lets XLA
-    # insert the gradient all-reduce over ICI (SURVEY.md §2.10).
+    # Multi-chip parallelism: Config.mesh_shape > 1 pins env batches to the
+    # mesh's 'data' axis and (with --tp N) Megatron-splits the Dense chains
+    # over a 'model' axis; XLA inserts every collective over ICI from the
+    # sharding annotations (SURVEY.md §2.10).
     mesh = None
     if cfg.mesh_shape is not None and cfg.mesh_shape > 1:
-        mesh = mesh_lib.make_mesh(cfg.mesh_shape)
-        if cfg.batch % cfg.mesh_shape:
+        mesh = mesh_lib.make_mesh(cfg.mesh_shape, cfg.tp)
+        n_data = cfg.mesh_shape // cfg.tp
+        if cfg.batch % n_data:
             raise ValueError(
-                f"batch {cfg.batch} not divisible by mesh_shape {cfg.mesh_shape}"
+                f"batch {cfg.batch} not divisible by data-axis size {n_data}"
             )
 
     key = jax.random.key(0)
@@ -90,7 +95,7 @@ def main(argv=None):
         print(f"Resumed from {folder_chp} at epoch {start_epoch}")
 
     if mesh is not None:
-        state = mesh_lib.shard_train_state(state, mesh)
+        state = mesh_lib.shard_train_state(state, mesh, cfg)
         epoch_fn = mesh_lib.make_sharded_epoch(agent, cfg, lut, mesh, cfg.rounds)
     else:
         epoch_fn = train_loop.make_jit_epoch(agent, cfg, lut, cfg.rounds)

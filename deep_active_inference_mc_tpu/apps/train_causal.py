@@ -31,6 +31,9 @@ from deep_active_inference_mc_tpu.viz.reconstructions_plot import reconstruction
 
 
 def main(argv=None):
+    from deep_active_inference_mc_tpu.utils import compcache
+
+    compcache.enable_persistent_cache()
     parser = argparse.ArgumentParser(add_help=False)
     parser.add_argument("-r", "--resume", action="store_true")
     parser.add_argument("-b", "--batch", type=int, default=None)

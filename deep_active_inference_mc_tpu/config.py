@@ -80,7 +80,8 @@ class Config:
 
     # --- TPU execution ---
     bf16: bool = False  # bfloat16 compute for model forwards
-    mesh_shape: Optional[int] = None  # data-axis size; None = all devices
+    mesh_shape: Optional[int] = None  # total mesh devices; None = no mesh
+    tp: int = 1  # model-axis size within mesh_shape (Megatron TP); 1 = pure DP
 
     # --- run identity ---
     prefix: str = "final_model_"

@@ -1,12 +1,14 @@
-"""Multi-chip execution: data-parallel sharding over a device mesh.
+"""Multi-chip execution: data- and tensor-parallel sharding over a mesh.
 
 The reference is strictly single-process/single-device (SURVEY.md §2.10 —
 no torch.distributed, no collectives anywhere). The TPU-native equivalent:
-one ``jax.sharding.Mesh`` with a ``data`` axis over ICI; environment state,
-frames, rollouts and every per-sample loss term shard along it, parameters
-and optimizer states are replicated, and XLA inserts the psum for the
-batch-mean gradients automatically. DCN would only enter for multi-host
-sweeps (mesh spanning hosts via ``jax.distributed.initialize``).
+one ``jax.sharding.Mesh`` with a ``data`` axis (and optionally a ``model``
+axis) over ICI. Environment state, frames, rollouts and every per-sample
+loss term shard along ``data``; with a ``model`` axis the Dense chains of
+the three networks shard Megatron-style (alternating column/row splits, so
+each pair of layers costs one psum), and XLA inserts every collective from
+the sharding annotations — no hand-written comms. DCN would only enter for
+multi-host meshes (``jax.distributed.initialize``).
 
 Works identically on real TPU meshes and on the virtual CPU mesh used by
 tests (``--xla_force_host_platform_device_count``).
@@ -18,6 +20,8 @@ import functools
 from typing import Optional
 
 import jax
+import numpy as np
+import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from deep_active_inference_mc_tpu.config import Config
@@ -26,12 +30,72 @@ from deep_active_inference_mc_tpu.infer.precision import OmegaParams
 from deep_active_inference_mc_tpu.train import loop as train_loop
 
 
-def make_mesh(n_devices: Optional[int] = None) -> Mesh:
-    """A 1-D ``data`` mesh over the first ``n_devices`` devices."""
+def make_mesh(
+    n_devices: Optional[int] = None, n_model: int = 1
+) -> Mesh:
+    """A ``data`` mesh (1-D), or a 2-D ``(data, model)`` mesh when
+    ``n_model > 1``. ``n_devices`` is the TOTAL device count used."""
     devices = jax.devices()
     if n_devices is not None:
         devices = devices[:n_devices]
-    return Mesh(devices, ("data",))
+    if n_model <= 1:
+        return Mesh(devices, ("data",))
+    if len(devices) % n_model:
+        raise ValueError(
+            f"{len(devices)} devices not divisible by tp={n_model}"
+        )
+    grid = np.array(devices).reshape(-1, n_model)
+    return Mesh(grid, ("data", "model"))
+
+
+def _tp_spec(path, leaf, n_model: int) -> P:
+    """Megatron-style spec for one param leaf: Dense chains alternate
+    column (even index: out-dim on 'model', bias sharded) and row (odd
+    index: in-dim on 'model', bias replicated, psum folded in by XLA).
+    Convs and sub-tile layers stay replicated."""
+    keys = [getattr(k, "key", str(k)) for k in path]
+    layer, kind = keys[-2], keys[-1]
+    if not layer.startswith("Dense_"):
+        return P()  # convs + anything exotic: replicated
+    col = int(layer.split("_")[1]) % 2 == 0
+    min_dim = 8 * n_model  # don't split below an 8-lane sliver per device
+    if kind == "kernel":
+        in_d, out_d = leaf.shape
+        if col and out_d % n_model == 0 and out_d >= min_dim:
+            return P(None, "model")
+        if not col and in_d % n_model == 0 and in_d >= min_dim:
+            return P("model", None)
+        return P()
+    if col and leaf.shape[0] % n_model == 0 and leaf.shape[0] >= min_dim:
+        return P("model")
+    return P()
+
+
+def param_shardings(params, mesh: Mesh):
+    """NamedSharding pytree for the agent params: replicated on a pure-data
+    mesh, Megatron column/row splits on a ``(data, model)`` mesh."""
+    if "model" not in mesh.axis_names:
+        return jax.tree.map(lambda _: NamedSharding(mesh, P()), params)
+    n_model = mesh.shape["model"]
+    return jax.tree_util.tree_map_with_path(
+        lambda p, l: NamedSharding(mesh, _tp_spec(p, l, n_model)), params
+    )
+
+
+def opt_shardings(opts, opt_states, p_shardings, mesh: Mesh):
+    """Optimizer-state shardings mirroring the param shardings (Adam mu/nu
+    shard exactly like their params; counts replicated)."""
+    repl = NamedSharding(mesh, P())
+    return {
+        k: optax.tree_map_params(
+            opts[k],
+            lambda _leaf, ps: ps,
+            opt_states[k],
+            p_shardings[k],
+            transform_non_params=lambda _leaf: repl,
+        )
+        for k in opt_states
+    }
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
@@ -43,19 +107,38 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def _state_shardings(cfg: Config, state: train_loop.TrainState, mesh: Mesh):
+    """Sharding pytree for a TrainState on this mesh: envs over 'data',
+    params/opt per the TP rules (replicated on a pure-data mesh)."""
+    opts = train_loop.make_optimizers(cfg)
+    ps = param_shardings(state.params, mesh)
+    return train_loop.TrainState(
+        params=ps,
+        opt_states=opt_shardings(opts, state.opt_states, ps, mesh),
+        precision=jax.tree.map(lambda _: replicated(mesh), state.precision),
+        env=jax.tree.map(lambda _: batch_sharding(mesh), state.env),
+    )
+
+
 def shard_train_state(
-    state: train_loop.TrainState, mesh: Mesh
+    state: train_loop.TrainState, mesh: Mesh, cfg: Optional[Config] = None
 ) -> train_loop.TrainState:
     """Place a TrainState on the mesh: envs sharded over 'data', params /
-    optimizer states / precision replicated."""
-    batch = batch_sharding(mesh)
-    repl = replicated(mesh)
-    return train_loop.TrainState(
-        params=jax.device_put(state.params, repl),
-        opt_states=jax.device_put(state.opt_states, repl),
-        precision=jax.device_put(state.precision, repl),
-        env=jax.device_put(state.env, batch),
+    optimizer state replicated (data mesh) or TP-split (2-D mesh)."""
+    cfg = cfg or Config()
+    sh = _state_shardings(cfg, state, mesh)
+    return jax.tree.map(jax.device_put, state, sh)
+
+
+def _abstract_state_shardings(
+    cfg: Config, agent: ActiveInferenceAgent, mesh: Mesh
+):
+    """State-sharding pytree without materializing a state (eval_shape)."""
+    template = jax.eval_shape(
+        functools.partial(train_loop.create_train_state, cfg, agent),
+        jax.random.key(0),
     )
+    return _state_shardings(cfg, template, mesh)
 
 
 def make_sharded_train_round(
@@ -70,11 +153,8 @@ def make_sharded_train_round(
     fn = functools.partial(
         train_loop.train_round, agent, cfg, opts, omega_params
     )
-    batch = batch_sharding(mesh)
     repl = replicated(mesh)
-    state_shardings = train_loop.TrainState(
-        params=repl, opt_states=repl, precision=repl, env=batch
-    )
+    state_shardings = _abstract_state_shardings(cfg, agent, mesh)
     lut_repl = jax.device_put(lut, repl)
 
     @functools.partial(
@@ -102,11 +182,8 @@ def make_sharded_epoch(
     flagship trainer when ``Config.mesh_shape`` is set."""
     opts = train_loop.make_optimizers(cfg)
     omega_params = OmegaParams(cfg.var_a, cfg.var_b, cfg.var_c, cfg.var_d)
-    batch = batch_sharding(mesh)
     repl = replicated(mesh)
-    state_shardings = train_loop.TrainState(
-        params=repl, opt_states=repl, precision=repl, env=batch
-    )
+    state_shardings = _abstract_state_shardings(cfg, agent, mesh)
     lut_repl = jax.device_put(lut, repl)
 
     @functools.partial(

@@ -22,12 +22,13 @@ def test_from_args_parses_mesh_and_bf16():
 
 
 def test_train_cli_mesh_bf16_end_to_end(tmp_path):
-    """One epoch through main() on a 4-device mesh with bf16 compute:
-    trains, evaluates, sweeps, and writes every per-epoch artifact."""
+    """One epoch through main() on a 4-device (2 dp x 2 tp) mesh with bf16
+    compute: trains, evaluates, sweeps, and writes every per-epoch
+    artifact."""
     argv = [
         "--batch", "8", "--rounds", "2", "--test_size", "8",
         "--epochs", "2", "--samples", "1",
-        "--mesh_shape", "4", "--bf16",
+        "--mesh_shape", "4", "--tp", "2", "--bf16",
         "--sweep_envs", "8", "--sweep_steps", "2",
         "--out_root", str(tmp_path),
     ]
@@ -38,6 +39,7 @@ def test_train_cli_mesh_bf16_end_to_end(tmp_path):
     folder = runs[0]
     cfg = json.loads((folder / "config.json").read_text())
     assert cfg["mesh_shape"] == 4 and cfg["bf16"] is True
+    assert cfg["tp"] == 2
 
     assert list(folder.glob("traversals_at_epoch_0001.png"))
     assert list(folder.glob("imagination_*_1.png"))
