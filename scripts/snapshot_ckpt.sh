@@ -13,7 +13,8 @@ mkdir -p "$DST"
 # no trainer is running (round-end snapshot after SIGINT).
 SRC="$RUN/checkpoints"
 if [ -f /tmp/train512.pid ] && kill -0 "$(cat /tmp/train512.pid)" 2>/dev/null; then
-  NEWEST=$(ls -d "$RUN"/checkpoints_epoch_* 2>/dev/null | sort -t_ -k3 -n | tail -1)
+  NEWEST=$(ls -d "$RUN"/checkpoints_epoch_* 2>/dev/null \
+    | awk -F'_epoch_' '{print $NF, $0}' | sort -n | tail -1 | cut -d' ' -f2)
   [ -n "$NEWEST" ] && SRC="$NEWEST"
 fi
 rm -rf "$DST/checkpoints"
