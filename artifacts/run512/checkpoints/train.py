@@ -42,6 +42,9 @@ from deep_active_inference_mc_tpu.viz.stats_plot import stats_plot
 
 
 def main(argv=None):
+    from deep_active_inference_mc_tpu.utils import compcache
+
+    compcache.enable_persistent_cache()
     parser = argparse.ArgumentParser(add_help=False)
     parser.add_argument("-r", "--resume", action="store_true")
     parser.add_argument("-b", "--batch", type=int, default=None)
@@ -66,15 +69,17 @@ def main(argv=None):
     )
     lut = raster.build_sprite_lut()
 
-    # Multi-chip data parallelism: Config.mesh_shape > 1 pins env batches to
-    # the mesh's 'data' axis, replicates params/optimizer state, and lets XLA
-    # insert the gradient all-reduce over ICI (SURVEY.md §2.10).
+    # Multi-chip parallelism: Config.mesh_shape > 1 pins env batches to the
+    # mesh's 'data' axis and (with --tp N) Megatron-splits the Dense chains
+    # over a 'model' axis; XLA inserts every collective over ICI from the
+    # sharding annotations (SURVEY.md §2.10).
     mesh = None
     if cfg.mesh_shape is not None and cfg.mesh_shape > 1:
-        mesh = mesh_lib.make_mesh(cfg.mesh_shape)
-        if cfg.batch % cfg.mesh_shape:
+        mesh = mesh_lib.make_mesh(cfg.mesh_shape, cfg.tp)
+        n_data = cfg.mesh_shape // cfg.tp
+        if cfg.batch % n_data:
             raise ValueError(
-                f"batch {cfg.batch} not divisible by mesh_shape {cfg.mesh_shape}"
+                f"batch {cfg.batch} not divisible by data-axis size {n_data}"
             )
 
     key = jax.random.key(0)
@@ -90,7 +95,7 @@ def main(argv=None):
         print(f"Resumed from {folder_chp} at epoch {start_epoch}")
 
     if mesh is not None:
-        state = mesh_lib.shard_train_state(state, mesh)
+        state = mesh_lib.shard_train_state(state, mesh, cfg)
         epoch_fn = mesh_lib.make_sharded_epoch(agent, cfg, lut, mesh, cfg.rounds)
     else:
         epoch_fn = train_loop.make_jit_epoch(agent, cfg, lut, cfg.rounds)
@@ -106,6 +111,7 @@ def main(argv=None):
     decode_fn = jax.jit(lambda p, s: agent.decode(p, s))
 
     start_time = time.time()
+    saver = ckpt.AsyncSaver()
     try:
         for epoch in range(start_epoch, cfg.epochs + 1):
             # gamma annealing (train.py:101-102).
@@ -124,8 +130,9 @@ def main(argv=None):
             env_sps = cfg.batch * cfg.repeats * cfg.rounds / (time.time() - epoch_t0)
 
             if epoch % cfg.save_every == 0:
-                ckpt.save_all(folder_chp, state, stats, key, script_file=__file__)
+                saver.save(folder_chp, state, stats, key, script_file=__file__)
             if epoch % cfg.archive_every == 0:
+                saver.wait()  # the archive copies the checkpoint dir
                 ckpt.archive(folder_chp, epoch)
 
             # ---- evaluation (train.py:136-146) --------------------------------
@@ -143,6 +150,7 @@ def main(argv=None):
             stats["kl_div_s_naive_anal"].append(np.asarray(ev["kl_div_s_naive_anal"]))
             stats["omega"].append(train_metrics["omega"])
             stats["omega_std"].append(train_metrics["omega_std"])
+            stats["kl_div_pi_train"].append(train_metrics["kl_pi"])
             stats["kl_div_pi"].append(float(ev["kl_div_pi"]))
             stats["kl_div_pi_min"].append(float(ev["kl_div_pi_min"]))
             stats["kl_div_pi_max"].append(float(ev["kl_div_pi_max"]))
@@ -216,8 +224,10 @@ def main(argv=None):
         # an interrupt saves a resumable checkpoint instead of
         # losing up to save_every epochs of work.
         print("Interrupted — saving checkpoint for --resume", flush=True)
+        saver.wait()
         ckpt.save_all(folder_chp, state, stats, key, script_file=__file__)
         raise SystemExit(130)
+    saver.wait()
 
 
 if __name__ == "__main__":
