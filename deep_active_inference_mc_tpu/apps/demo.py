@@ -350,8 +350,11 @@ def make_fused_round(agent, method: str, args, lut):
             agent, params, k_G, o, steps=steps, calc_mean=args.mean,
             samples=10,
         )
-        t0, t1 = -terms[0], terms[1]
-        score = {"ai": -G, "t1": -t0, "t12": -(t0 + t1)}[method]
+        # Per-step G normalization, matching Demo._plan (G accumulates over
+        # ``steps``; softmax must see the per-step average or the policy is
+        # steps-times sharper than the interactive path).
+        t0, t1 = -terms[0] / steps, terms[1] / steps
+        score = {"ai": -G / steps, "t1": -t0, "t12": -(t0 + t1)}[method]
         pi = jax.random.categorical(k_act, score / temp, axis=-1).astype(
             jnp.int32
         )[0]
@@ -419,7 +422,14 @@ def run_headless_fused(demo: Demo, duration: int):
     queue = jnp.full((maxq,), -1, jnp.int32)
     qlen = jnp.asarray(0, jnp.int32)
     key = demo.key
-    n_rounds = max(1, duration // DURATION_OF_ROUND)
+    # Whole 100-frame rounds (the round boundary re-randomizes the env,
+    # test_demo.py:125-129); round *up* so at least ``duration`` frames run.
+    n_rounds = max(1, -(-duration // DURATION_OF_ROUND))
+    if n_rounds * DURATION_OF_ROUND != duration:
+        print(
+            f"note: running {n_rounds * DURATION_OF_ROUND} frames "
+            f"({n_rounds} whole rounds) for --headless {duration}"
+        )
     t0 = None
     for r in range(n_rounds):
         key, k = jax.random.split(key)

@@ -26,7 +26,6 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from deep_active_inference_mc_tpu.config import Config
 from deep_active_inference_mc_tpu.infer.agent import ActiveInferenceAgent
-from deep_active_inference_mc_tpu.infer.precision import OmegaParams
 from deep_active_inference_mc_tpu.train import loop as train_loop
 
 
@@ -148,25 +147,15 @@ def make_sharded_train_round(
     pin envs to the data axis and learnable state to full replication; the
     gradient all-reduce over ICI is inserted by XLA from the sharding
     propagation (no hand-written collectives needed for pure DP)."""
-    opts = train_loop.make_optimizers(cfg)
-    omega_params = OmegaParams(cfg.var_a, cfg.var_b, cfg.var_c, cfg.var_d)
-    fn = functools.partial(
-        train_loop.train_round, agent, cfg, opts, omega_params
-    )
     repl = replicated(mesh)
     state_shardings = _abstract_state_shardings(cfg, agent, mesh)
     lut_repl = jax.device_put(lut, repl)
-
-    @functools.partial(
-        jax.jit,
+    return jax.jit(
+        train_loop.make_round_fn(agent, cfg, lut_repl),
         in_shardings=(state_shardings, repl),
         out_shardings=(state_shardings, repl),
         donate_argnums=(0,),
     )
-    def step(state, key):
-        return fn(state, key, lut_repl)
-
-    return step
 
 
 def make_sharded_epoch(
@@ -178,29 +167,15 @@ def make_sharded_epoch(
 ):
     """Mesh-sharded version of ``train_loop.make_jit_epoch``: the whole epoch
     (``rounds`` fused train rounds) as one jitted ``lax.scan`` with envs
-    pinned to the ``data`` axis and learnable state replicated. Used by the
-    flagship trainer when ``Config.mesh_shape`` is set."""
-    opts = train_loop.make_optimizers(cfg)
-    omega_params = OmegaParams(cfg.var_a, cfg.var_b, cfg.var_c, cfg.var_d)
+    pinned to the ``data`` axis and learnable state replicated (or TP-split
+    on a 2-D mesh). Used by the flagship trainer when ``Config.mesh_shape``
+    is set."""
     repl = replicated(mesh)
     state_shardings = _abstract_state_shardings(cfg, agent, mesh)
     lut_repl = jax.device_put(lut, repl)
-
-    @functools.partial(
-        jax.jit,
+    return jax.jit(
+        train_loop.make_epoch_fn(agent, cfg, lut_repl, rounds),
         in_shardings=(state_shardings, repl),
         out_shardings=(state_shardings, repl),
         donate_argnums=(0,),
     )
-    def epoch(state, key):
-        def body(st, k):
-            return train_loop.train_round(
-                agent, cfg, opts, omega_params, st, k, lut_repl
-            )
-
-        state, metrics = jax.lax.scan(
-            body, state, jax.random.split(key, rounds)
-        )
-        return state, jax.tree.map(lambda x: x[-1], metrics)
-
-    return epoch

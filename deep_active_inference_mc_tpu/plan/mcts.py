@@ -347,16 +347,16 @@ def active_inference_mcts(
     def loop_cond(carry):
         # Early exit when every env has decided — the reference's per-env
         # `break` (mcts.py:176-181) as a batched while_loop, so decided
-        # batches stop paying expand+simulate cost.
-        i, tree, *_ = carry
-        return jnp.logical_and(i < p.repeats, jnp.any(~_phase_b_done(tree)))
+        # batches stop paying expand+simulate cost. `done` rides the carry
+        # (computed once per iteration, at the end of the previous one).
+        i, tree, _, _, done = carry
+        return jnp.logical_and(i < p.repeats, jnp.any(~done))
 
     def iteration(carry):
-        i, tree, paths_buf, paths_G_buf = carry
+        i, tree, paths_buf, paths_G_buf, done = carry
         k_i = jax.random.fold_in(k_loop, i)
         k_exp, k_sim, k_sel = jax.random.split(k_i, 3)
 
-        done = _phase_b_done(tree)
         active = ~done
 
         # select (mcts.py:183).
@@ -437,17 +437,23 @@ def active_inference_mcts(
                 jnp.where(active[:, None], acts, -1)
             )
             paths_G_buf = paths_G_buf.at[i].set(G_sim)
-        return i + 1, tree, paths_buf, paths_G_buf
+        return i + 1, tree, paths_buf, paths_G_buf, _phase_b_done(tree)
 
-    _, tree, paths_buf, paths_G_buf = jax.lax.while_loop(
+    _, tree, paths_buf, paths_G_buf, done = jax.lax.while_loop(
         loop_cond,
         iteration,
-        (jnp.asarray(0, jnp.int32), tree, paths_buf, paths_G_buf),
+        (
+            jnp.asarray(0, jnp.int32),
+            tree,
+            paths_buf,
+            paths_G_buf,
+            _phase_b_done(tree),
+        ),
     )
     # Envs whose threshold crossed on what would have been the next
     # iteration are already decided; finalize the done flags so
     # repeats_done matches the reference's per-env break point.
-    tree = tree.replace(done=_phase_b_done(tree))
+    tree = tree.replace(done=done)
 
     actions, lengths = _action_selection(
         tree, p.max_depth, A,

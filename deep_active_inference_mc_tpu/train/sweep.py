@@ -73,31 +73,13 @@ def _controller_actions(
 
 
 def _make_render_fn(lut: jax.Array, mesh, resolution: int = 64):
-    """Frame renderer for the sweep. With a mesh on TPU, the fused Pallas
-    kernel runs per-shard under shard_map (a pallas_call has no SPMD
-    partitioning rule, so the auto-partitioner can't split it itself);
-    otherwise the XLA render path partitions automatically."""
+    """Frame renderer for the sweep. The env dispatcher handles every
+    context: on TPU the fused Pallas kernel carries its own
+    custom_partitioning batch rule (ops/pallas/render.py), so sharded
+    fleets render shard-locally without a hand-written shard_map here."""
+    del mesh  # sharding is handled by the kernel's partitioning rule
     if resolution != 64:
         return lambda env: env_lib.render_obs(lut, env, resolution)
-    if mesh is not None and jax.default_backend() == "tpu":
-        from jax.sharding import PartitionSpec as P
-
-        from deep_active_inference_mc_tpu.ops.pallas import render as prender
-
-        n_shards = len(mesh.devices.flat)
-
-        def render_fn(env):
-            if env.batch % (n_shards * prender.BLK) == 0:
-                fn = jax.shard_map(
-                    prender.render_frames,
-                    mesh=mesh,
-                    in_specs=(P("data"), P("data")),
-                    out_specs=P("data"),
-                )
-                return fn(env.latents, env.last_r)
-            return env_lib.render(lut, env)
-
-        return render_fn
     return lambda env: env_lib.render(lut, env)
 
 

@@ -41,16 +41,31 @@ def _to_host(tree):
 def _write_payload(
     folder_chp: Path, payload: Dict, stats: Dict, script_file: str
 ) -> None:
-    """Disk half of a checkpoint save (host arrays already materialized)."""
+    """Disk half of a checkpoint save (host arrays already materialized).
+
+    Crash-safe: the new state is fully written to ``state.tmp`` before the
+    old ``state`` is touched, then swapped in via renames — a kill at any
+    point leaves a complete state dir on disk (``state`` or ``state.old``,
+    see ``_resolve_state_dir``)."""
     folder_chp.mkdir(parents=True, exist_ok=True)
     ckpt_dir = folder_chp / "state"
-    if ckpt_dir.exists():
-        shutil.rmtree(ckpt_dir)
+    tmp_dir = folder_chp / "state.tmp"
+    old_dir = folder_chp / "state.old"
+    for d in (tmp_dir, old_dir):
+        if d.exists():
+            shutil.rmtree(d)
     with ocp.StandardCheckpointer() as ckptr:
-        ckptr.save(ckpt_dir, payload)
+        ckptr.save(tmp_dir, payload)
+    if ckpt_dir.exists():
+        ckpt_dir.rename(old_dir)
+    tmp_dir.rename(ckpt_dir)
+    if old_dir.exists():
+        shutil.rmtree(old_dir)
 
-    with open(folder_chp / "stats.pkl", "wb") as f:
+    stats_tmp = folder_chp / "stats.pkl.tmp"
+    with open(stats_tmp, "wb") as f:
         pickle.dump(stats, f)
+    stats_tmp.replace(folder_chp / "stats.pkl")
 
     # Source snapshot (torchmodel.py:186-189).
     pkg_root = Path(__file__).resolve().parent.parent
@@ -90,6 +105,13 @@ class AsyncSaver:
 
     def __init__(self) -> None:
         self._thread: Optional[threading.Thread] = None
+        self._exc: Optional[BaseException] = None
+
+    def _run(self, *args) -> None:
+        try:
+            _write_payload(*args)
+        except BaseException as e:  # surfaced by the next wait()/save()
+            self._exc = e
 
     def save(
         self,
@@ -109,16 +131,34 @@ class AsyncSaver:
         # keeps appending while the writer pickles.
         stats_copy = {k: list(v) for k, v in stats.items()}
         self._thread = threading.Thread(
-            target=_write_payload,
+            target=self._run,
             args=(folder_chp, payload, stats_copy, script_file),
             daemon=True,
         )
         self._thread.start()
 
     def wait(self) -> None:
+        """Join the in-flight write; re-raise any writer-thread failure (a
+        silently failing saver would let hours of training go unsaved)."""
         if self._thread is not None and self._thread.is_alive():
             self._thread.join()
         self._thread = None
+        if self._exc is not None:
+            exc, self._exc = self._exc, None
+            raise exc
+
+
+def _resolve_state_dir(folder_chp: Path) -> Path:
+    """The live state dir, falling back to ``state.old`` if a crash landed
+    between the two swap renames in ``_write_payload`` (both are complete
+    checkpoints; ``state.old`` is simply one save older)."""
+    state = Path(folder_chp) / "state"
+    if state.exists():
+        return state
+    old = Path(folder_chp) / "state.old"
+    if old.exists():
+        return old
+    return state
 
 
 def load_all(
@@ -132,7 +172,7 @@ def load_all(
             "state": _to_host(state_template),
             "rng_key": np.zeros((2,), np.uint32),
         }
-        payload = ckptr.restore(folder_chp / "state", template)
+        payload = ckptr.restore(_resolve_state_dir(folder_chp), template)
     with open(folder_chp / "stats.pkl", "rb") as f:
         stats = pickle.load(f)
     state = jax.tree.map(
@@ -151,7 +191,10 @@ def archive(folder_chp: Path, epoch: int) -> None:
     dst = folder_chp.parent / f"{folder_chp.name}_epoch_{epoch}"
     if dst.exists():
         shutil.rmtree(dst)
-    shutil.copytree(folder_chp, dst)
+    shutil.copytree(
+        folder_chp, dst,
+        ignore=shutil.ignore_patterns("state.tmp", "state.old"),
+    )
     # Orbax stores the state as one tree; rewrite the archive without
     # optimizer states to mirror the reference's optimizers.pkl removal.
     state_dir = dst / "state"
@@ -164,6 +207,6 @@ def archive(folder_chp: Path, epoch: int) -> None:
 
 
 def latest_exists(folder_chp: Path) -> bool:
-    return (Path(folder_chp) / "state").exists() and (
+    return _resolve_state_dir(folder_chp).exists() and (
         Path(folder_chp) / "stats.pkl"
     ).exists()

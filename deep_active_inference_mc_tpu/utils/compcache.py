@@ -21,9 +21,14 @@ DEFAULT_DIR = os.path.expanduser("~/.cache/daif_tpu_xla")
 
 
 def enable_persistent_cache(path: str | None = None) -> str:
-    """Enable the on-disk compilation cache (idempotent). Returns the dir."""
+    """Enable the on-disk compilation cache (idempotent). Returns the dir,
+    or "" when the location is unwritable (the app runs uncached)."""
     cache_dir = path or os.environ.get("DAIF_COMP_CACHE", DEFAULT_DIR)
-    os.makedirs(cache_dir, exist_ok=True)
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+    except OSError as e:
+        print(f"compilation cache disabled ({cache_dir}: {e})")
+        return ""
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_enable_compilation_cache", True)
     # Cache everything that took meaningful compile time; don't crash the

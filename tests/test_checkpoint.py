@@ -80,3 +80,40 @@ def test_pad_missing_stats():
     assert len(stats["mse_o"]) == 2
     assert all(len(v) in (0, 2) for v in stats.values())
     assert set(stats_lib.STATS_KEYS) <= set(stats.keys())
+
+
+def test_crash_between_swap_renames_recovers(tmp_path, cfg, agent):
+    """If a kill lands between the two swap renames in _write_payload
+    (``state`` renamed away, ``state.tmp`` not yet renamed in), the loader
+    must fall back to the complete ``state.old`` checkpoint."""
+    state = train_loop.create_train_state(cfg, agent, jax.random.key(0))
+    stats = stats_lib.new_stats()
+    stats["F"].append(2.5)
+    key = jax.random.key(7)
+    folder = tmp_path / "checkpoints"
+    ckpt.save_all(folder, state, stats, key)
+    ckpt.save_all(folder, state, stats, key)  # exercise the swap path
+
+    # Simulate the crash window: state -> state.old, no live state dir.
+    (folder / "state").rename(folder / "state.old")
+    assert ckpt.latest_exists(folder)
+    template = train_loop.create_train_state(cfg, agent, jax.random.key(1))
+    restored, got_stats, got_key = ckpt.load_all(folder, template)
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree.leaves(restored.params)[0]),
+        np.asarray(jax.tree.leaves(state.params)[0]),
+    )
+    assert got_stats["F"] == [2.5]
+
+
+def test_async_saver_surfaces_writer_errors(tmp_path, cfg, agent):
+    state = train_loop.create_train_state(cfg, agent, jax.random.key(0))
+    saver = ckpt.AsyncSaver()
+    # Unwritable destination: a path under a regular file.
+    blocker = tmp_path / "blocker"
+    blocker.write_text("x")
+    saver.save(blocker / "sub", state, stats_lib.new_stats(), jax.random.key(0))
+    with pytest.raises(OSError):
+        saver.wait()
+    # The error is cleared after being raised once.
+    saver.wait()

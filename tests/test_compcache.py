@@ -14,3 +14,10 @@ def test_enable_persistent_cache(tmp_path):
     assert jax.config.jax_raise_persistent_cache_errors is False
     # idempotent
     assert compcache.enable_persistent_cache(d) == d
+
+
+def test_enable_persistent_cache_unwritable(tmp_path):
+    blocker = tmp_path / "file"
+    blocker.write_text("x")
+    # A path *under a file* cannot be created: must degrade, not raise.
+    assert compcache.enable_persistent_cache(str(blocker / "sub")) == ""
