@@ -37,7 +37,7 @@ METHODS = ("ai", "t1", "t12", "habit", "mcts", "random", "expert")
 
 def _controller_actions(
     agent, params, key, o, env, method, steps, samples, temperature,
-    mcts_params,
+    mcts_params, calc_mean,
 ):
     """One planning decision per env: (B,) actions."""
     if method == "random":
@@ -60,7 +60,8 @@ def _controller_actions(
 
     k_G, k_act = jax.random.split(key)
     G, terms, _ = efe.calculate_G_4_repeated(
-        agent, params, k_G, o, steps=steps, calc_mean=True, samples=samples
+        agent, params, k_G, o, steps=steps, calc_mean=calc_mean,
+        samples=samples,
     )
     t0 = -terms[0]
     t1 = terms[1]
@@ -95,8 +96,13 @@ def make_sweep(
     temperature: float = 1.0,
     mcts_params: Optional[mcts_lib.MCTSParams] = None,
     mesh=None,
+    calc_mean: bool = True,
 ):
-    """Compile a sweep: (params, key, n_envs-batched env) -> score stats."""
+    """Compile a sweep: (params, key, n_envs-batched env) -> score stats.
+
+    calc_mean=True mirrors the reference demo's ``-m/--mean`` evaluation
+    mode (test_demo.py:13,73-77); calc_mean=False + samples=10 is its
+    sampling default."""
     if method not in METHODS:
         raise ValueError(f"method {method!r} not in {METHODS}")
     if mcts_params is None:
@@ -112,7 +118,7 @@ def make_sweep(
             o = render_fn(env)
             a = _controller_actions(
                 agent, params, k_plan, o, env, method, steps, samples,
-                temperature, mcts_params,
+                temperature, mcts_params, calc_mean,
             )
             # The expert acts in env space (it reads ground-truth state);
             # agent controllers (and the random baseline) act in the
