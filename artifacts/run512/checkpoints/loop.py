@@ -166,40 +166,47 @@ def train_round(
     return new_state, metrics
 
 
+def make_round_fn(agent: ActiveInferenceAgent, cfg: Config, lut: jax.Array):
+    """The un-jitted (state, key) -> (state, metrics) round closure — the
+    single implementation behind both the single-device and mesh-sharded
+    jit wrappers (parallel/mesh.py)."""
+    opts = make_optimizers(cfg)
+    omega_params = OmegaParams(cfg.var_a, cfg.var_b, cfg.var_c, cfg.var_d)
+
+    def step(state, key):
+        return train_round(agent, cfg, opts, omega_params, state, key, lut)
+
+    return step
+
+
+def make_epoch_fn(
+    agent: ActiveInferenceAgent, cfg: Config, lut: jax.Array, rounds: int
+):
+    """Un-jitted whole-epoch closure: ``rounds`` train rounds under one
+    lax.scan, returning the last round's metrics."""
+    round_fn = make_round_fn(agent, cfg, lut)
+
+    def epoch(state, key):
+        state, metrics = jax.lax.scan(
+            round_fn, state, jax.random.split(key, rounds)
+        )
+        return state, jax.tree.map(lambda x: x[-1], metrics)
+
+    return epoch
+
+
 def make_jit_train_round(
     agent: ActiveInferenceAgent, cfg: Config, lut: jax.Array
 ):
     """Compile the round with donated state buffers."""
-    opts = make_optimizers(cfg)
-    omega_params = OmegaParams(cfg.var_a, cfg.var_b, cfg.var_c, cfg.var_d)
-    fn = functools.partial(train_round, agent, cfg, opts, omega_params)
-
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def step(state, key):
-        return fn(state, key, lut)
-
-    return step
+    return jax.jit(make_round_fn(agent, cfg, lut), donate_argnums=(0,))
 
 
 def make_jit_epoch(
     agent: ActiveInferenceAgent, cfg: Config, lut: jax.Array, rounds: int
 ):
     """A whole epoch (``rounds`` train rounds) as ONE jitted lax.scan — the
-    hot loop runs on-device end to end, metrics averaged over rounds."""
-    opts = make_optimizers(cfg)
-    omega_params = OmegaParams(cfg.var_a, cfg.var_b, cfg.var_c, cfg.var_d)
-
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def epoch(state, key):
-        def body(st, k):
-            st, metrics = train_round(
-                agent, cfg, opts, omega_params, st, k, lut
-            )
-            return st, metrics
-
-        state, metrics = jax.lax.scan(
-            body, state, jax.random.split(key, rounds)
-        )
-        return state, jax.tree.map(lambda x: x[-1], metrics)
-
-    return epoch
+    hot loop runs on-device end to end."""
+    return jax.jit(
+        make_epoch_fn(agent, cfg, lut, rounds), donate_argnums=(0,)
+    )
