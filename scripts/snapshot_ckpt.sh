@@ -27,4 +27,4 @@ ls "$RUN"/imagination_*.png 2>/dev/null | tail -1 | xargs -r -I{} cp {} "$DST/"
 ls "$RUN"/reward_imagination_*.png 2>/dev/null | tail -1 | xargs -r -I{} cp {} "$DST/"
 EPOCH=$(grep -c . train512.log 2>/dev/null || echo "?")
 git add -A "$DST"
-git commit -q -m "training snapshot: $(tail -1 train512.log | cut -c1-120)" || echo "nothing to commit"
+git commit -q -m "training snapshot: $(grep -P '^\d+, F:' train512.log | tail -1 | cut -c1-120)" || echo "nothing to commit"
