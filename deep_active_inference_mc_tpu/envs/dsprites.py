@@ -180,9 +180,14 @@ def _pallas_render_eligible(batch: int) -> bool:
     """Use the fused Pallas kernel on TPU with block-aligned batches; the
     XLA shift-matrix path covers CPU. Multi-device meshes are handled by the
     kernel's custom_partitioning rule (each device renders its batch shard;
-    ops/pallas/render.py)."""
+    ops/pallas/render.py). DAIF_NO_PALLAS=1 forces the XLA path — an
+    operational escape hatch for isolating suspected kernel faults."""
+    import os
+
     from deep_active_inference_mc_tpu.ops.pallas import render as prender
 
+    if os.environ.get("DAIF_NO_PALLAS"):
+        return False
     return jax.default_backend() == "tpu" and batch % prender.BLK == 0
 
 
