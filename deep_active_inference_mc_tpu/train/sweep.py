@@ -97,8 +97,11 @@ def make_sweep(
     mcts_params: Optional[mcts_lib.MCTSParams] = None,
     mesh=None,
     calc_mean: bool = True,
+    zero_score: bool = True,
 ):
     """Compile a sweep: (params, key, n_envs-batched env) -> score stats.
+    ``zero_score=False`` continues accumulating a prior chunk's score
+    (run_sweep's bounded-dispatch chunking).
 
     calc_mean=True mirrors the reference demo's ``-m/--mean`` evaluation
     mode (test_demo.py:13,73-77); calc_mean=False + samples=10 is its
@@ -111,7 +114,8 @@ def make_sweep(
 
     @jax.jit
     def sweep(params: Params, key: jax.Array, env: env_lib.EnvState):
-        env = env.replace(score=jnp.zeros_like(env.score))
+        if zero_score:
+            env = env.replace(score=jnp.zeros_like(env.score))
 
         def macro(env, k):
             k_plan, k_step = jax.random.split(k)
@@ -140,6 +144,7 @@ def make_sweep(
             "score_sem": scores.std() / jnp.sqrt(scores.shape[0]),
             "scoring_events": scored_counts.sum(),
             "scores": scores,
+            "env": env,
         }
 
     return sweep
@@ -153,10 +158,17 @@ def run_sweep(
     key: jax.Array,
     n_envs: int = 1024,
     mesh=None,
+    n_macro_steps: int = 100,
+    chunk: int = 50,
     **kwargs,
 ) -> Dict[str, jax.Array]:
     """Evaluate over ``n_envs`` fresh environments; optionally shard the env
-    batch over a data-parallel mesh (params replicate)."""
+    batch over a data-parallel mesh (params replicate).
+
+    The sweep runs as ceil(n_macro_steps/chunk) bounded dispatches with the
+    env carried across calls: a single multi-minute device dispatch can
+    crash the axon tunnel's worker (observed at 256 envs x 200 macro MCTS),
+    and bounded dispatches cost nothing on the XLA side."""
     k_env, k_run = jax.random.split(key)
     env = env_lib.randomize(k_env, env_lib.reset(k_env, n_envs))
     if mesh is not None:
@@ -164,5 +176,24 @@ def run_sweep(
 
         env = jax.device_put(env, mesh_lib.batch_sharding(mesh))
         params = jax.device_put(params, mesh_lib.replicated(mesh))
-    sweep = make_sweep(agent, cfg, lut, mesh=mesh, **kwargs)
-    return sweep(params, k_run, env)
+    chunk = min(chunk, n_macro_steps)
+    lengths = [chunk] * (n_macro_steps // chunk)
+    if n_macro_steps % chunk:
+        lengths.append(n_macro_steps % chunk)  # one extra (small) compile
+    sweeps = {
+        n: make_sweep(
+            agent, cfg, lut, mesh=mesh, n_macro_steps=n,
+            zero_score=False, **kwargs,
+        )
+        for n in set(lengths)
+    }
+    env = env.replace(score=jnp.zeros_like(env.score))
+    events = 0.0
+    out = None
+    for i, n in enumerate(lengths):
+        out = sweeps[n](params, jax.random.fold_in(k_run, i), env)
+        env = out["env"]
+        events += float(out["scoring_events"])
+    out = dict(out)
+    out["scoring_events"] = jnp.asarray(events)
+    return out
