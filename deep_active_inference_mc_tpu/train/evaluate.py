@@ -109,12 +109,75 @@ def reward_transition_probe(
     return mse_r, deep_mse, o0, o1, po1
 
 
+def edge_discrimination_probe(
+    agent: ActiveInferenceAgent,
+    cfg: Config,
+    params: Params,
+    key: jax.Array,
+    lut: jax.Array,
+) -> Dict[str, jax.Array]:
+    """Shape->side discrimination at the scoring edge (VERDICT r2 diagnosis).
+
+    Places every (shape, posX) combination at posY=31 (one 'up' from
+    scoring, game_environment.py:119-134) and measures how much probability
+    mass the habit net — and the softmax(-G/T) data policy actually used for
+    training targets (util.py:46-53,62-68) — puts on 'up' when it is the
+    *correct* side (squares left / others right) vs the wrong side. The
+    correct-minus-wrong gap is the single number that must grow for the
+    agent to beat random at the task.
+    """
+    posx = jnp.arange(32, dtype=jnp.int32)
+    shp = jnp.asarray([0, 1, 2], jnp.int32)
+    SH, PX = jnp.meshgrid(shp, posx, indexing="ij")  # (3, 32)
+    lat = jnp.stack(
+        [
+            jnp.zeros_like(SH),  # color
+            SH,  # shape
+            jnp.full_like(SH, 3),  # scale (mid)
+            jnp.zeros_like(SH),  # orientation
+            PX,  # posX
+            jnp.full_like(SH, 31),  # posY: the scoring edge
+        ],
+        axis=-1,
+    ).reshape(-1, 6)
+    n = lat.shape[0]
+    env = env_lib.EnvState(
+        latents=lat,
+        score=jnp.zeros((n,), jnp.float32),
+        last_r=jnp.zeros((n,), jnp.float32),
+    )
+    o = env_lib.render_obs(lut, env, cfg.resolution)
+
+    def split_correct_wrong(p_up):
+        p = p_up.reshape(3, 32)
+        correct = (p[0, :16].mean() + p[1:, 16:].mean()) / 2.0
+        wrong = (p[0, 16:].mean() + p[1:, :16].mean()) / 2.0
+        return correct, wrong
+
+    q_pi = agent.habitual_net(params, o)
+    h_corr, h_wrong = split_correct_wrong(q_pi[:, 0])
+
+    from deep_active_inference_mc_tpu.infer import efe
+
+    G, _, _ = efe.calculate_G_4_repeated(
+        agent, params, key, o, steps=1, calc_mean=True, samples=1
+    )
+    p_pi = jax.nn.softmax(-G / cfg.temperature, axis=-1)
+    g_corr, g_wrong = split_correct_wrong(p_pi[:, 0])
+    return {
+        "edge_habit_correct": h_corr,
+        "edge_habit_wrong": h_wrong,
+        "edge_g_correct": g_corr,
+        "edge_g_wrong": g_wrong,
+    }
+
+
 def make_jit_eval(agent: ActiveInferenceAgent, cfg: Config, lut: jax.Array):
     """One jitted eval pass returning the full epoch stats payload."""
 
     @jax.jit
     def evaluate(params, precision, key):
-        k_env, k_batch, k_loss, k_probe = jax.random.split(key, 4)
+        k_env, k_batch, k_loss, k_probe, k_edge = jax.random.split(key, 5)
         env = env_lib.reset(k_env, cfg.test_size)
         _, o0, o1, pi0, _, S0_real, _ = data_lib.make_batch_random(
             cfg, k_batch, env, lut
@@ -127,6 +190,9 @@ def make_jit_eval(agent: ActiveInferenceAgent, cfg: Config, lut: jax.Array):
         )
         metrics["mse_r"] = mse_r
         metrics["deep_mse_o"] = deep_mse
+        metrics.update(
+            edge_discrimination_probe(agent, cfg, params, k_edge, lut)
+        )
         metrics["S0_real"] = S0_real
         # Frames feed the 7-sample reconstruction strips only (train.py:178,
         # 184) — slice on-device so the host transfer stays a few KB.

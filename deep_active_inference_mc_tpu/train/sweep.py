@@ -129,20 +129,42 @@ def make_sweep(
             # possibly-3-action agent space and map to env moves.
             if method != "expert":
                 a = env_lib.to_env_actions(a, agent.pi_dim)
+            # Per-shape attribution: shape only changes at respawn, which
+            # freezes the env for the rest of the macro (step_repeated), so
+            # the shape at macro start IS the shape that scores this macro.
+            shape0 = env.latents[..., 1]
+            score0 = env.score
             env, scored = env_lib.step_repeated(k_step, env, a, repeats=jumps)
-            return env, scored.sum()
+            delta = env.score - score0
+            is_sq = shape0 == 0
+            tallies = (
+                scored.sum(),
+                (scored & is_sq).sum(),
+                (scored & ~is_sq).sum(),
+                jnp.where(is_sq, delta, 0.0).sum(),
+                jnp.where(~is_sq, delta, 0.0).sum(),
+            )
+            return env, tallies
 
-        env, scored_counts = jax.lax.scan(
+        env, (ev_all, ev_sq, ev_oth, r_sq, r_oth) = jax.lax.scan(
             macro, env, jax.random.split(key, n_macro_steps)
         )
         scores = env.score
+        n = scores.shape[0]
         return {
             "score_mean": scores.mean(),
             "score_std": scores.std(),
             "score_min": scores.min(),
             "score_max": scores.max(),
-            "score_sem": scores.std() / jnp.sqrt(scores.shape[0]),
-            "scoring_events": scored_counts.sum(),
+            "score_sem": scores.std() / jnp.sqrt(n),
+            "scoring_events": ev_all.sum(),
+            # Shape-split diagnostics (VERDICT r2: shape->side discrimination
+            # is the skill bottleneck): scoring-event counts and per-env mean
+            # score contribution by object class.
+            "events_sq": ev_sq.sum(),
+            "events_other": ev_oth.sum(),
+            "score_sq": r_sq.sum() / n,
+            "score_other": r_oth.sum() / n,
             "scores": scores,
             "env": env,
         }
@@ -188,12 +210,18 @@ def run_sweep(
         for n in set(lengths)
     }
     env = env.replace(score=jnp.zeros_like(env.score))
-    events = 0.0
+    acc_keys = (
+        "scoring_events", "events_sq", "events_other", "score_sq",
+        "score_other",
+    )
+    acc = {k: 0.0 for k in acc_keys}
     out = None
     for i, n in enumerate(lengths):
         out = sweeps[n](params, jax.random.fold_in(k_run, i), env)
         env = out["env"]
-        events += float(out["scoring_events"])
+        for k in acc_keys:
+            acc[k] += float(out[k])
     out = dict(out)
-    out["scoring_events"] = jnp.asarray(events)
+    for k in acc_keys:
+        out[k] = jnp.asarray(acc[k])
     return out

@@ -191,10 +191,17 @@ def archive(folder_chp: Path, epoch: int) -> None:
     dst = folder_chp.parent / f"{folder_chp.name}_epoch_{epoch}"
     if dst.exists():
         shutil.rmtree(dst)
+    # Copy the *resolved* live state dir explicitly: if a crash landed the
+    # checkpoint in its recovery window (only state.old present), a naive
+    # copytree would produce an archive with stats but no state
+    # (ADVICE r2 #2).
     shutil.copytree(
         folder_chp, dst,
-        ignore=shutil.ignore_patterns("state.tmp", "state.old"),
+        ignore=shutil.ignore_patterns("state", "state.tmp", "state.old"),
     )
+    src_state = _resolve_state_dir(folder_chp)
+    if src_state.exists():
+        shutil.copytree(src_state, dst / "state")
     # Orbax stores the state as one tree; rewrite the archive without
     # optimizer states to mirror the reference's optimizers.pkl removal.
     state_dir = dst / "state"

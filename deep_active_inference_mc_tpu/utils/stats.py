@@ -28,6 +28,17 @@ STATS_KEYS = [
     # (train.py:139), which pins it near -0.75*log(1e-15) ~ 24.5 for any
     # near-uniform habit: habit sharpening must be read from this series.
     "kl_div_pi_train",
+    # Round-3 behavioral instrumentation (VERDICT r2 items 1 & 3): the
+    # per-epoch sweep runs on a FIXED eval PRNG so the series is paired
+    # across epochs, split by object class, normalized by constant
+    # expert/random baselines computed once on the same PRNG, plus a cheap
+    # habit-controller sweep and the scoring-edge discrimination probes.
+    "train_scores_habit_m", "train_scores_habit_sem",
+    "train_events_sq", "train_events_other",
+    "train_scores_sq", "train_scores_other",
+    "train_scores_expert", "train_scores_random",
+    "edge_habit_correct", "edge_habit_wrong",
+    "edge_g_correct", "edge_g_wrong",
 ]
 
 

@@ -56,8 +56,14 @@ def stats_plot(stats, filename):
     ax = logpanel(9, "KL(pi)")
     ax.plot(stats["kl_div_pi"], "y", label="kl_pi (eval, one-hot pinned)")
     if stats.get("kl_div_pi_train"):
-        ax.plot(stats["kl_div_pi_train"], "m", label="kl_pi (train targets)")
-        n = max(len(stats["kl_div_pi_train"]), 1)
+        # Align resumed-from-old-checkpoint series with the epoch axis: a
+        # padded/short series starts at its resume epoch, not x=0
+        # (ADVICE r2 #5).
+        kt = stats["kl_div_pi_train"]
+        off = max(len(stats["kl_div_pi"]) - len(kt), 0)
+        ax.plot(range(off, off + len(kt)), kt, "m",
+                label="kl_pi (train targets)")
+        n = max(len(stats["kl_div_pi"]), 1)
         b = stats["var_b"][-1] if stats.get("var_b") else 25.0
         ax.plot([0, n], [b] * 2, "k--", lw=0.8, label="omega midpoint b")
     ax.legend(fontsize=5)
@@ -104,7 +110,104 @@ def stats_plot(stats, filename):
         ax.plot(om + om_std, "b--")
         ax.plot(om - om_std, "b--")
 
+    # Panel 16 (free slot in the reference's 4x4 grid): the behavioral
+    # learning curve — per-epoch paired sweep scores vs the constant
+    # random baseline.
+    if stats.get("train_scores_m"):
+        ax = plt.subplot(4, 4, 16)
+        ax.set_ylabel("sweep score")
+        ax.set_xlabel("epochs")
+        ax.grid(True)
+        m = np.asarray(stats["train_scores_m"])
+        sem = np.asarray(stats.get("train_scores_sem", np.zeros_like(m)))
+        x = np.arange(len(m))
+        ax.plot(x, m, "b", lw=0.8, label="ai")
+        if len(sem) == len(m):
+            ax.fill_between(x, m - sem, m + sem, color="b", alpha=0.2)
+        hm = np.asarray(stats.get("train_scores_habit_m", []))
+        if len(hm):
+            ax.plot(np.arange(len(m) - len(hm), len(m)), hm, "g", lw=0.8,
+                    label="habit")
+        rb = stats.get("train_scores_random")
+        if rb:
+            ax.axhline(rb[-1], color="k", ls="--", lw=0.8, label="random")
+        ax.legend(fontsize=5)
+
     fig.set_tight_layout(True)
     plt.savefig(str(filename) + ".png")
     plt.savefig(str(filename) + ".svg")
+    plt.close(fig)
+
+
+def behavior_plot(stats, filename):
+    """Round-3 behavioral dashboard: paired sweep scores, per-shape score
+    and event splits, and the scoring-edge discrimination probes — the
+    instrumentation for the shape->side skill bottleneck (VERDICT r2)."""
+    fig, axes = plt.subplots(2, 2, figsize=(11, 8))
+    n = len(stats.get("train_scores_m", []))
+
+    def offx(series):
+        return np.arange(n - len(series), n)
+
+    ax = axes[0, 0]
+    m = np.asarray(stats.get("train_scores_m", []))
+    sem = np.asarray(stats.get("train_scores_sem", []))
+    ax.plot(np.arange(n), m, "b", lw=0.9, label="ai")
+    if len(sem) == n:
+        ax.fill_between(np.arange(n), m - sem, m + sem, color="b", alpha=0.2)
+    hm = np.asarray(stats.get("train_scores_habit_m", []))
+    hs = np.asarray(stats.get("train_scores_habit_sem", []))
+    if len(hm):
+        ax.plot(offx(hm), hm, "g", lw=0.9, label="habit")
+        if len(hs) == len(hm):
+            ax.fill_between(offx(hm), hm - hs, hm + hs, color="g", alpha=0.2)
+    rb = stats.get("train_scores_random", [])
+    if rb:
+        ax.axhline(rb[-1], color="k", ls="--", lw=0.8, label="random")
+    eb = stats.get("train_scores_expert", [])
+    if eb:
+        ax.set_title(f"sweep score (expert = {eb[-1]:+.2f})", fontsize=9)
+    ax.set_ylabel("score (paired sweep)")
+    ax.legend(fontsize=7)
+    ax.grid(True)
+
+    ax = axes[0, 1]
+    for key, c, lbl in (("train_scores_sq", "tab:orange", "squares"),
+                        ("train_scores_other", "tab:purple", "ellipse/heart")):
+        s = np.asarray(stats.get(key, []))
+        if len(s):
+            ax.plot(offx(s), s, color=c, lw=0.9, label=lbl)
+    ax.axhline(0.0, color="k", lw=0.5)
+    ax.set_ylabel("score contribution by class")
+    ax.legend(fontsize=7)
+    ax.grid(True)
+
+    ax = axes[1, 0]
+    for key, c, lbl in (("train_events_sq", "tab:orange", "squares"),
+                        ("train_events_other", "tab:purple", "ellipse/heart")):
+        s = np.asarray(stats.get(key, []))
+        if len(s):
+            ax.plot(offx(s), s, color=c, lw=0.9, label=lbl)
+    ax.set_ylabel("scoring events by class")
+    ax.set_xlabel("epochs")
+    ax.legend(fontsize=7)
+    ax.grid(True)
+
+    ax = axes[1, 1]
+    for key, c, lbl in (("edge_habit_correct", "g", "habit P(up|correct)"),
+                        ("edge_habit_wrong", "g", None),
+                        ("edge_g_correct", "b", "softmax(-G/T) P(up|correct)"),
+                        ("edge_g_wrong", "b", None)):
+        s = np.asarray(stats.get(key, []))
+        if len(s):
+            style = "-" if "correct" in key else "--"
+            ax.plot(offx(s), s, style, color=c, lw=0.9, label=lbl)
+    ax.axhline(0.25, color="k", ls=":", lw=0.8, label="uniform")
+    ax.set_ylabel("P(up) at scoring edge (-- wrong side)")
+    ax.set_xlabel("epochs")
+    ax.legend(fontsize=7)
+    ax.grid(True)
+
+    fig.set_tight_layout(True)
+    plt.savefig(str(filename) + ".png")
     plt.close(fig)
