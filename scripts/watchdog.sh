@@ -16,7 +16,7 @@ while true; do
     echo "$(date -u) watchdog: log stale ${AGE}s, restarting trainer (pid $PID)" >> watchdog.log
     kill -9 "$PID"
     sleep 5
-    nohup python -m deep_active_inference_mc_tpu.apps.train --resume --batch 512 >> train512.log 2>&1 &
+    nohup python -m deep_active_inference_mc_tpu.apps.train --resume --batch 512 --rounds 1000 --epochs 3000 --viz_every 25 --archive_every 50 >> train512.log 2>&1 &
     echo $! > /tmp/train512.pid
     sleep 300  # allow the resume compile before watching again
   fi

@@ -96,18 +96,123 @@ def test_calculate_G_4_repeated_batched(agent, params):
         assert np.all(np.isfinite(np.asarray(G)))
 
 
-def test_G_4_matches_tiled_G_repeated_layout(agent, params):
-    """Row layout parity: (b, a) with action fastest, like the reference's
-    o.repeat(4,0) + tile(eye) trick (util.py:57-60)."""
+def _oracle_tile(s0, pi_one_hot):
+    """Explicit nested-loop (b, a) layout — an INDEPENDENT construction of
+    the action-fastest row contract (reference util.py:57-60: o.repeat(4,0)
+    against tile(eye)). Any silent (b,a)<->(a,b) transposition in the
+    vectorized tiling diverges from this."""
+    B = s0.shape[0]
+    A = pi_one_hot.shape[0]
+    s_rows = jnp.stack([s0[b] for b in range(B) for _ in range(A)])
+    pi_rows = jnp.stack([pi_one_hot[a] for _ in range(B) for a in range(A)])
+    return s_rows, pi_rows
+
+
+def test_G_4_rows_equal_explicit_oracle_mean(agent, params):
+    """Numeric layout parity (VERDICT r2 weak #3): calculate_G_4_repeated's
+    internal tiling, replayed with the SAME key against an explicitly
+    nested-loop-tiled calculate_G_mean call, must match bitwise — proving
+    G[b, a] really is env b / action a, not just shaped (B, 4)."""
     B = 3
     o = jax.random.uniform(jax.random.key(9), (B, 64, 64, 1))
-    # Same RNG cannot be threaded identically through both paths (different
-    # split trees), so compare only shapes/finite here; numeric parity of the
-    # estimator itself is covered by test_efe_statistics below.
-    G, _, _ = efe.calculate_G_4_repeated(
-        agent, params, jax.random.key(10), o, steps=1, calc_mean=True
+    key = jax.random.key(10)
+    G, terms, _ = efe.calculate_G_4_repeated(
+        agent, params, key, o, steps=1, calc_mean=True
     )
-    assert G.shape == (B, 4)
+
+    # Replay calculate_G_4_repeated's exact key tree (efe.py:206-231).
+    k_enc, k_scan = jax.random.split(key)
+    _, s0_mean, _ = agent.encode_with_sample(params, k_enc, o)
+    (k_step,) = jax.random.split(k_scan, 1)
+    s_rows, pi_rows = _oracle_tile(s0_mean, agent.pi_one_hot)
+    G_oracle, terms_oracle, _, _ = efe.calculate_G_mean(
+        agent, params, k_step, s_rows, pi_rows
+    )
+    # Tolerance: the scan wrapper and the direct call compile to different
+    # reduction orders (observed |diff| <= 3e-4 on O(1e2) G values); a layout
+    # transposition would scramble rows across envs — O(1) differences.
+    G_o = np.asarray(G_oracle).reshape(B, 4)
+    np.testing.assert_allclose(np.asarray(G), G_o, rtol=1e-4, atol=1e-2)
+    for t, t_o in zip(terms, terms_oracle):
+        np.testing.assert_allclose(
+            np.asarray(t), np.asarray(t_o).reshape(B, 4), rtol=1e-4, atol=1e-2
+        )
+    # Anti-test: a (b,a)-scrambled assignment must NOT match.
+    scrambled = np.asarray(G_oracle).reshape(4, B).T
+    assert np.abs(np.asarray(G) - scrambled).max() > 1.0
+
+
+def test_G_4_rows_equal_explicit_oracle_sampled(agent, params):
+    """Same layout proof for the sampled estimator path (calc_mean=False)."""
+    B = 2
+    o = jax.random.uniform(jax.random.key(19), (B, 64, 64, 1))
+    key = jax.random.key(20)
+    G, _, _ = efe.calculate_G_4_repeated(
+        agent, params, key, o, steps=1, calc_mean=False, samples=2
+    )
+    k_enc, k_scan = jax.random.split(key)
+    s0, _, _ = agent.encode_with_sample(params, k_enc, o)
+    (k_step,) = jax.random.split(k_scan, 1)
+    s_rows, pi_rows = _oracle_tile(s0, agent.pi_one_hot)
+    G_oracle, _, _, _, _ = efe.calculate_G(
+        agent, params, k_step, s_rows, pi_rows, samples=2
+    )
+    np.testing.assert_array_equal(np.asarray(G), np.asarray(G_oracle).reshape(B, 4))
+
+
+def test_trainer_tiled_path_rows_equal_explicit_oracle(agent, params):
+    """The trainer's data-gen layout (envs/data.py:52-57): o repeated 4x +
+    tiled one-hots through calculate_G_repeated equals the explicit
+    nested-loop construction under the same key, and softmax_multi_with_log's
+    reshape(-1, 4) therefore groups per-env with action fastest — so every
+    training action's G is assigned to the right (env, action) cell."""
+    from deep_active_inference_mc_tpu.ops import math as m
+
+    B = 3
+    A = 4
+    o = jax.random.uniform(jax.random.key(29), (B, 64, 64, 1))
+    key = jax.random.key(30)
+    # Trainer construction (data.py:52-53).
+    o_rep = jnp.repeat(o, A, axis=0)
+    pi_rep = jnp.tile(agent.pi_one_hot, (B, 1))
+    sum_G, _, _ = efe.calculate_G_repeated(
+        agent, params, key, o_rep, pi_rep, steps=1, calc_mean=True, samples=1
+    )
+    # Explicit oracle construction of the same rows.
+    o_oracle = jnp.stack([o[b] for b in range(B) for _ in range(A)])
+    pi_oracle = jnp.stack(
+        [agent.pi_one_hot[a] for _ in range(B) for a in range(A)]
+    )
+    np.testing.assert_array_equal(np.asarray(o_rep), np.asarray(o_oracle))
+    np.testing.assert_array_equal(np.asarray(pi_rep), np.asarray(pi_oracle))
+    sum_G_oracle, _, _ = efe.calculate_G_repeated(
+        agent, params, key, o_oracle, pi_oracle, steps=1, calc_mean=True,
+        samples=1,
+    )
+    np.testing.assert_array_equal(np.asarray(sum_G), np.asarray(sum_G_oracle))
+    # Grouping contract: softmax over groups of 4 consecutive rows = per-env.
+    Ppi, _ = m.softmax_multi_with_log(-sum_G, A)
+    assert Ppi.shape == (B, A)
+    np.testing.assert_allclose(np.asarray(Ppi.sum(-1)), 1.0, rtol=1e-5)
+
+
+def test_mcts_expand_rows_equal_explicit_oracle(agent, params):
+    """plan.mcts._expand_G's (B, 4) reshape obeys the same layout contract."""
+    from deep_active_inference_mc_tpu.plan import mcts as mcts_lib
+
+    B = 3
+    s = jax.random.normal(jax.random.key(39), (B, 10))
+    key = jax.random.key(40)
+    p = mcts_lib.MCTSParams()
+    G, ps_next = mcts_lib._expand_G(agent, params, key, s, p)
+    s_rows, pi_rows = _oracle_tile(s, agent.pi_one_hot)
+    G_oracle, _, ps_oracle, _ = efe.calculate_G_mean(
+        agent, params, key, s_rows, pi_rows
+    )
+    np.testing.assert_array_equal(np.asarray(G), np.asarray(G_oracle).reshape(B, 4))
+    np.testing.assert_array_equal(
+        np.asarray(ps_next), np.asarray(ps_oracle).reshape(B, 4, -1)
+    )
 
 
 def test_trajectory_G(agent, params):
