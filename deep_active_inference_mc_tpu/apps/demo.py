@@ -448,11 +448,17 @@ def run_headless_fused(demo: Demo, duration: int):
             env = env.replace(score=jnp.zeros((1,)))
     jax.block_until_ready(env.score)
     frames = compiled_rounds * DURATION_OF_ROUND
-    fps = frames / max(time.time() - t0, 1e-9)
+    # Single-round runs have no post-compile round to time (ADVICE r2 #4).
+    fps_str = (
+        f"{frames / max(time.time() - t0, 1e-9):.1f} fps (steady-state)"
+        if compiled_rounds > 0
+        else "fps n/a (single round is all compile)"
+    )
     demo.env = env
+    demo.key = key  # advance the demo's key stream past this run
     print(
         f"headless done: {n_rounds * DURATION_OF_ROUND} frames, "
-        f"score {float(env.score[0]):.3f}, {fps:.1f} fps (steady-state), "
+        f"score {float(env.score[0]):.3f}, {fps_str}, "
         f"method={demo.method}",
         flush=True,
     )

@@ -83,16 +83,31 @@ def _kernel(idx_ref, r0_ref, c0_ref, lastr_ref, lut_ref, out_ref,
         out_ref[e] = window
 
 
-def _interpret_active() -> bool:
-    """True inside pltpu.force_tpu_interpret_mode() (tests on CPU). The
+# Explicit interpret-mode toggle (ADVICE r2 #3: no private-config sniffing
+# inside jit; the flag is a *static* jit argument so interpret and compiled
+# executables never share a cache entry). Tests use ``interpret_mode()``.
+_INTERPRET = False
+
+
+import contextlib
+
+
+@contextlib.contextmanager
+def interpret_mode():
+    """Run the kernel under the Pallas TPU interpreter (CPU tests). The
     interpreter lowers pallas_call to an effectful io_callback, which
     custom_partitioning cannot lower — interpret runs bypass the cp wrapper."""
-    from jax._src import config as _jcfg
+    global _INTERPRET
+    old = _INTERPRET
+    _INTERPRET = True
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            yield
+    finally:
+        _INTERPRET = old
 
-    return _jcfg.pallas_tpu_interpret_mode_context_manager.value is not None
 
-
-def _render_local(idx, r0, c0, last_r, lut):
+def _render_local(idx, r0, c0, last_r, lut, interpret=False):
     """Per-device render: the Pallas kernel for BLK-aligned local batches on
     TPU (or under the interpreter), an XLA slice render otherwise (CPU
     shards inside the cp rule, or a mesh splitting a BLK-aligned global
@@ -101,7 +116,7 @@ def _render_local(idx, r0, c0, last_r, lut):
     (hence iota/dynamic_slice instead of the numpy shift-selector render)."""
     B = idx.shape[0]
     use_pallas = B % BLK == 0 and (
-        jax.default_backend() == "tpu" or _interpret_active()
+        jax.default_backend() == "tpu" or interpret
     )
     if not use_pallas:
         base = lut[idx, :, : raster.CANVAS]  # (B, 96, 96)
@@ -157,15 +172,8 @@ _render_cp.def_partition(
 )
 
 
-@functools.partial(jax.jit, static_argnames=())
-def render_frames(latents: jax.Array, last_r: jax.Array) -> jax.Array:
-    """(B, 64, 64, 1) frames with reward strip, fully fused.
-
-    Requires global B % BLK == 0 (use ``envs.dsprites.render`` for odd
-    sizes). Batch-sharded inputs stay sharded: each device renders its own
-    shard (custom_partitioning rule above)."""
-    B = latents.shape[0]
-    assert B % BLK == 0, B
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _render_frames_impl(latents, last_r, interpret=False):
     lut = jnp.asarray(_padded_lut_np())
     idx = raster.sprite_index(latents).astype(jnp.int32)
     r0 = (raster.CENTER - raster.POS_OFFSET) - latents[..., 5]
@@ -177,8 +185,19 @@ def render_frames(latents: jax.Array, last_r: jax.Array) -> jax.Array:
         last_r.astype(jnp.float32),
         lut,
     )
-    fn = _render_local if _interpret_active() else _render_cp
-    return fn(*args)[..., None]
+    if interpret:
+        return _render_local(*args, interpret=True)[..., None]
+    return _render_cp(*args)[..., None]
+
+
+def render_frames(latents: jax.Array, last_r: jax.Array) -> jax.Array:
+    """(B, 64, 64, 1) frames with reward strip, fully fused.
+
+    Requires global B % BLK == 0 (use ``envs.dsprites.render`` for odd
+    sizes). Batch-sharded inputs stay sharded: each device renders its own
+    shard (custom_partitioning rule above)."""
+    assert latents.shape[0] % BLK == 0, latents.shape[0]
+    return _render_frames_impl(latents, last_r, interpret=_INTERPRET)
 
 
 def _pallas_render(idx, r0, c0, last_r, lut):

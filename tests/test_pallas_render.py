@@ -29,7 +29,7 @@ def test_render_paths_agree(lut):
         raster.render_sprites_slice(lut, state.latents), state.last_r
     )
     np.testing.assert_array_equal(np.asarray(mm), np.asarray(sl))
-    with pltpu.force_tpu_interpret_mode():
+    with prender.interpret_mode():
         pk = prender.render_frames(state.latents, state.last_r)
     np.testing.assert_array_equal(np.asarray(mm), np.asarray(pk))
 
