@@ -44,7 +44,7 @@ def make_batch_active_inference(
     Returns (env', o0, o1, pi0 one-hot, log_Ppi)."""
     k_rand, k_G, k_act, k_step = jax.random.split(key, 4)
     env = env_lib.randomize(k_rand, env)
-    o0 = env_lib.render_obs(lut, env, cfg.resolution)
+    o0 = env_lib.render_obs(lut, env, cfg.resolution, cfg.colour_channels)
 
     # EFE of all actions: the reference tiles o0 4x against the one-hot
     # action matrix (util.py:57-62); identical row layout (action fastest).
@@ -65,7 +65,7 @@ def make_batch_active_inference(
         k_step, env, env_lib.to_env_actions(actions, agent.pi_dim),
         repeats=cfg.repeats,
     )
-    o1 = env_lib.render_obs(lut, env, cfg.resolution)
+    o1 = env_lib.render_obs(lut, env, cfg.resolution, cfg.colour_channels)
     return env, o0, o1, pi0, log_Ppi
 
 
@@ -79,7 +79,7 @@ def make_batch_random(
     Returns (env', o0, o1, pi0 one-hot, log_Ppi, S0_real, S1_real)."""
     k_rand, k_ppi, k_act, k_step = jax.random.split(key, 4)
     env = env_lib.randomize(k_rand, env)
-    o0 = env_lib.render_obs(lut, env, cfg.resolution)
+    o0 = env_lib.render_obs(lut, env, cfg.resolution, cfg.colour_channels)
     S0_real = env_lib.ground_truth_factors(env)
 
     ppi = jax.random.uniform(k_ppi, (env.batch, cfg.pi_dim))
@@ -91,7 +91,7 @@ def make_batch_random(
         k_step, env, env_lib.to_env_actions(actions, cfg.pi_dim),
         repeats=cfg.repeats,
     )
-    o1 = env_lib.render_obs(lut, env, cfg.resolution)
+    o1 = env_lib.render_obs(lut, env, cfg.resolution, cfg.colour_channels)
     S1_real = env_lib.ground_truth_factors(env)
     return env, o0, o1, pi0, jnp.log(ppi + 1e-20), S0_real, S1_real
 
@@ -107,11 +107,11 @@ def make_batch_random_reward_transitions(
     env = env_lib.reset(k_env, size)
     env = env_lib.randomize(k_env, env)
     env = env.replace(latents=env.latents.at[:, 5].set(31))
-    o0 = env_lib.render_obs(lut, env, cfg.resolution)
+    o0 = env_lib.render_obs(lut, env, cfg.resolution, cfg.colour_channels)
 
     actions = jnp.zeros((size,), jnp.int32)  # 'up' (index 0 in both action sets)
     env, _ = env_lib.step_repeated(k_step, env, actions, repeats=cfg.repeats)
-    o1 = env_lib.render_obs(lut, env, cfg.resolution)
+    o1 = env_lib.render_obs(lut, env, cfg.resolution, cfg.colour_channels)
     pi0 = jax.nn.one_hot(actions, cfg.pi_dim, dtype=jnp.float32)
     return o0, o1, pi0
 

@@ -221,21 +221,30 @@ def to_env_actions(actions: jax.Array, pi_dim: int = 4) -> jax.Array:
 
 
 def render_obs(
-    lut: jax.Array, state: EnvState, resolution: int = 64
+    lut: jax.Array, state: EnvState, resolution: int = 64, channels: int = 1
 ) -> jax.Array:
     """Render observations at the configured resolution.
 
     64: the reference dSprites frame (``render``). 32: the Animal-AI-style
     variant (torchmodel.py:77-82) — 2x2 max-pool of the binary sprite frame
-    (keeps it binary), reward strip painted at 32-res."""
+    (keeps it binary), reward strip painted at 32-res.
+
+    channels=3 broadcasts the grayscale frame to RGB — the observation
+    carrier for the reference's colour model configuration
+    (torchmodel.py:77-82, colour_channels=3 for Animal-AI inputs; the
+    dSprites env itself is monochrome)."""
     if resolution == 64:
-        return render(lut, state)
-    if resolution == 32:
+        o = render(lut, state)
+    elif resolution == 32:
         frames = raster.render_sprites(lut, state.latents)
         B = frames.shape[0]
         pooled = frames.reshape(B, 32, 2, 32, 2, 1).max(axis=(2, 4))
-        return raster.paint_reward_strip(pooled, state.last_r)
-    raise ValueError(f"Unknown resolution {resolution}")
+        o = raster.paint_reward_strip(pooled, state.last_r)
+    else:
+        raise ValueError(f"Unknown resolution {resolution}")
+    if channels == 1:
+        return o
+    return jnp.broadcast_to(o, o.shape[:-1] + (channels,))
 
 
 def ground_truth_factors(state: EnvState) -> jax.Array:

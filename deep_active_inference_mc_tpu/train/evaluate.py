@@ -146,7 +146,7 @@ def edge_discrimination_probe(
         score=jnp.zeros((n,), jnp.float32),
         last_r=jnp.zeros((n,), jnp.float32),
     )
-    o = env_lib.render_obs(lut, env, cfg.resolution)
+    o = env_lib.render_obs(lut, env, cfg.resolution, cfg.colour_channels)
 
     def split_correct_wrong(p_up):
         p = p_up.reshape(3, 32)

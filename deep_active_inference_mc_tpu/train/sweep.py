@@ -73,14 +73,15 @@ def _controller_actions(
     return jax.random.categorical(k_act, score / temperature, axis=-1)
 
 
-def _make_render_fn(lut: jax.Array, mesh, resolution: int = 64):
+def _make_render_fn(lut: jax.Array, mesh, resolution: int = 64,
+                    channels: int = 1):
     """Frame renderer for the sweep. The env dispatcher handles every
     context: on TPU the fused Pallas kernel carries its own
     custom_partitioning batch rule (ops/pallas/render.py), so sharded
     fleets render shard-locally without a hand-written shard_map here."""
     del mesh  # sharding is handled by the kernel's partitioning rule
-    if resolution != 64:
-        return lambda env: env_lib.render_obs(lut, env, resolution)
+    if resolution != 64 or channels != 1:
+        return lambda env: env_lib.render_obs(lut, env, resolution, channels)
     return lambda env: env_lib.render(lut, env)
 
 
@@ -110,7 +111,7 @@ def make_sweep(
         raise ValueError(f"method {method!r} not in {METHODS}")
     if mcts_params is None:
         mcts_params = mcts_lib.MCTSParams(repeats=50, max_depth=16)
-    render_fn = _make_render_fn(lut, mesh, cfg.resolution)
+    render_fn = _make_render_fn(lut, mesh, cfg.resolution, cfg.colour_channels)
 
     @jax.jit
     def sweep(params: Params, key: jax.Array, env: env_lib.EnvState):
