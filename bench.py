@@ -89,44 +89,53 @@ def bench_efe_rollouts(agent, params, lut):
     return EFE_BATCH * 4 * EFE_ITERS * reps / dt
 
 
-def bench_mcts_plans(agent, params, lut):
-    """Batched array-MCTS planning throughput: full 50-expansion searches
-    with depth-3 habit simulations, 256 envs planning simultaneously."""
+def bench_mcts_plans(agent, params, lut, repeats=50, fused=False, reps=3):
+    """Batched array-MCTS planning throughput: full ``repeats``-expansion
+    searches with depth-3 habit simulations, 256 envs planning
+    simultaneously. Returns (plans/s, depth-cap bind fraction: no-op
+    expands per search iteration from the max_depth=16 cap)."""
     from deep_active_inference_mc_tpu.plan import mcts as mcts_lib
 
     B = 256
     state = env_lib.reset(jax.random.key(0), B)
     o = env_lib.render(lut, state)
-    p = mcts_lib.MCTSParams(repeats=50, simulation_depth=3, max_depth=16)
+    p = mcts_lib.MCTSParams(
+        repeats=repeats, simulation_depth=3, max_depth=16, fused_eval=fused
+    )
     planner = mcts_lib.make_jit_planner(agent, p)
 
     res = planner(params, jax.random.key(1), o)
     jax.block_until_ready(res.actions)
     t0 = time.perf_counter()
-    reps = 3
+    capped = done = 0.0
     for i in range(reps):
         res = planner(params, jax.random.key(2 + i), o)
+        capped += float(jnp.sum(res.depth_capped))
+        done += float(jnp.sum(res.repeats_done))
     jax.block_until_ready(res.actions)
     dt = time.perf_counter() - t0
-    return B * reps / dt
+    return B * reps / dt, capped / max(done, 1.0)
 
 
-def bench_train_round(lut):
+def bench_train_round(lut, batch=512, bf16=False, rounds=16, reps=3):
     """The fused act->plan->step->train round (data gen + 3 staged Adam
-    updates) at the flagship batch — env steps/sec INSIDE training."""
+    updates) — env steps/sec INSIDE training, at a given batch/precision."""
+    import jax.numpy as jnp
+
     from deep_active_inference_mc_tpu.config import Config
     from deep_active_inference_mc_tpu.train import loop as train_loop
 
-    cfg = Config(batch=512)
-    agent = ActiveInferenceAgent(s_dim=cfg.s_dim, pi_dim=cfg.pi_dim)
+    cfg = Config(batch=batch, bf16=bf16)
+    agent = ActiveInferenceAgent(
+        s_dim=cfg.s_dim, pi_dim=cfg.pi_dim,
+        dtype=jnp.bfloat16 if bf16 else jnp.float32,
+    )
     state = train_loop.create_train_state(cfg, agent, jax.random.key(0))
-    rounds = 16
     epoch_fn = train_loop.make_jit_epoch(agent, cfg, lut, rounds)
 
     state, metrics = epoch_fn(state, jax.random.key(1))
     jax.block_until_ready(metrics["F_down"])
     t0 = time.perf_counter()
-    reps = 3
     for i in range(reps):
         state, metrics = epoch_fn(state, jax.random.key(2 + i))
     jax.block_until_ready(metrics["F_down"])
@@ -142,16 +151,37 @@ def main():
     agent = ActiveInferenceAgent(s_dim=10, pi_dim=4)
     params = agent.init(jax.random.key(0))
 
+    import jax.numpy as jnp
+
+    agent_bf16 = ActiveInferenceAgent(s_dim=10, pi_dim=4, dtype=jnp.bfloat16)
+
     env_sps = bench_env_steps(lut)
     efe_rps = bench_efe_rollouts(agent, params, lut)
-    mcts_pps = bench_mcts_plans(agent, params, lut)
-    train_sps = bench_train_round(lut)
+    # MCTS ladder: r01/r02-comparable unfused f32 -> fused -> fused+bf16,
+    # plus the reference search budget (repeats=300, mcts.py:141) with the
+    # max_depth=16 cap-bind fraction (VERDICT r2 weak #4).
+    mcts_pps, _ = bench_mcts_plans(agent, params, lut, repeats=50)
+    mcts_fused, _ = bench_mcts_plans(
+        agent, params, lut, repeats=50, fused=True
+    )
+    mcts_fused_bf16, _ = bench_mcts_plans(
+        agent_bf16, params, lut, repeats=50, fused=True
+    )
+    mcts_ref, cap_frac = bench_mcts_plans(
+        agent_bf16, params, lut, repeats=300, fused=True, reps=1
+    )
+    train_sps = bench_train_round(lut, batch=512)
+    train_bf16 = bench_train_round(lut, batch=512, bf16=True)
+    train_2048 = bench_train_round(lut, batch=2048, bf16=True, reps=2)
 
     print(
         f"env_steps/s: {env_sps:.3e} (target {TARGET_ENV_STEPS:.0e}), "
         f"efe_rollouts/s: {efe_rps:.3e} (target {TARGET_EFE_ROLLOUTS:.0e}), "
-        f"mcts_plans/s: {mcts_pps:.3e} (50 expansions, depth-3 sims), "
-        f"train_env_steps/s: {train_sps:.3e} (batch-512 fused round)",
+        f"mcts_plans/s: {mcts_pps:.3e} (50 exp, depth-3 sims) | fused "
+        f"{mcts_fused:.3e} | fused+bf16 {mcts_fused_bf16:.3e} | ref-budget "
+        f"300exp {mcts_ref:.3e} (cap binds {cap_frac:.1%}), "
+        f"train_env_steps/s: {train_sps:.3e} (b512) | bf16 {train_bf16:.3e} "
+        f"| b2048+bf16 {train_2048:.3e}",
         file=sys.stderr,
     )
     print(
@@ -164,7 +194,13 @@ def main():
                 "efe_rollouts_per_sec": efe_rps,
                 "efe_vs_baseline": efe_rps / TARGET_EFE_ROLLOUTS,
                 "mcts_plans_per_sec": mcts_pps,
+                "mcts_plans_per_sec_fused": mcts_fused,
+                "mcts_plans_per_sec_fused_bf16": mcts_fused_bf16,
+                "mcts_plans_per_sec_ref_budget": mcts_ref,
+                "mcts_depth_cap_bind_frac": cap_frac,
                 "train_env_steps_per_sec": train_sps,
+                "train_env_steps_per_sec_bf16": train_bf16,
+                "train_env_steps_per_sec_b2048_bf16": train_2048,
             }
         )
     )

@@ -321,3 +321,76 @@ def test_real_agent_end_to_end_planner():
     assert res.all_paths_G.shape == (5, 2)
     assert np.all(np.asarray(res.lengths) >= 0)
     assert np.all(np.asarray(res.root_N).sum(-1) >= 4)
+
+
+def test_fused_eval_statistics_match_unfused():
+    """The fused mega-batched expand+simulate evaluator computes the same
+    estimators as _expand_G + efe.mcts_step_simulate: over many keys the MC
+    means of G_leaf and G_sim must agree within combined standard error
+    (the RNG row layout differs, the distribution must not)."""
+    from deep_active_inference_mc_tpu.infer import efe
+    from deep_active_inference_mc_tpu.infer.agent import ActiveInferenceAgent
+
+    agent = ActiveInferenceAgent(s_dim=10, pi_dim=4)
+    params = agent.init(jax.random.key(0))
+    B = 4
+    leaf_s = jax.random.normal(jax.random.key(1), (B, 10)) * 0.5
+    p = MCTSParams(simulation_depth=3, simulation_repeats=1, use_means=True)
+    n_keys = 24
+
+    @jax.jit
+    def one_fused(k):
+        G_leaf, ps_next, G_sim, Qpi = amcts._fused_expand_sim(
+            agent, params, k, leaf_s, p
+        )
+        return G_leaf, G_sim, ps_next, Qpi
+
+    @jax.jit
+    def one_unfused(k):
+        k_exp, k_sim = jax.random.split(k)
+        G_leaf, ps_next = amcts._expand_G(agent, params, k_exp, leaf_s, p)
+        G_sim, _, Qpi = efe.mcts_step_simulate(
+            agent, params, k_sim, leaf_s, p.simulation_depth, use_means=False
+        )
+        return G_leaf, G_sim, ps_next, Qpi
+
+    Gf, Sf, Pf, Qf = [], [], [], []
+    Gu, Su, Pu, Qu = [], [], [], []
+    for i in range(n_keys):
+        a = one_fused(jax.random.key(100 + i))
+        b = one_unfused(jax.random.key(500 + i))
+        Gf.append(np.asarray(a[0])); Sf.append(np.asarray(a[1]))
+        Pf.append(np.asarray(a[2])); Qf.append(np.asarray(a[3]))
+        Gu.append(np.asarray(b[0])); Su.append(np.asarray(b[1]))
+        Pu.append(np.asarray(b[2])); Qu.append(np.asarray(b[3]))
+
+    def close_in_sem(xs, ys, z=5.0):
+        xs, ys = np.stack(xs), np.stack(ys)
+        mx, my = xs.mean(0), ys.mean(0)
+        sem = np.sqrt(xs.var(0) / len(xs) + ys.var(0) / len(ys)) + 1e-6
+        assert np.all(np.abs(mx - my) < z * sem + 1e-3 * np.abs(my)), (
+            np.abs(mx - my).max(), (z * sem).max()
+        )
+
+    close_in_sem(Gf, Gu)  # expand G per (b, a)
+    close_in_sem(Sf, Su)  # simulation G
+    close_in_sem(Pf, Pu)  # children states (transition means)
+    close_in_sem(Qf, Qu)  # leaf habit prior
+
+
+def test_fused_planner_end_to_end():
+    """fused_eval planner: runs under jit, counts depth-cap binds, and
+    produces a sane tree (root fully seeded, paths well-formed)."""
+    from deep_active_inference_mc_tpu.infer.agent import ActiveInferenceAgent
+
+    agent = ActiveInferenceAgent(s_dim=10, pi_dim=4)
+    params = agent.init(jax.random.key(0))
+    frames = jax.random.uniform(jax.random.key(1), (2, 64, 64, 1))
+    p = MCTSParams(repeats=5, simulation_depth=2, max_depth=8, fused_eval=True)
+    planner = amcts.make_jit_planner(agent, p)
+    res = planner(params, jax.random.key(2), frames)
+    assert res.actions.shape == (2, 8)
+    assert np.all(np.asarray(res.root_N).sum(-1) >= 4)
+    assert np.all(np.asarray(res.depth_capped) >= 0)
+    assert np.all(np.asarray(res.depth_capped) <= np.asarray(res.repeats_done))
+    assert np.all(np.isfinite(np.asarray(res.root_Qpi)))
