@@ -50,15 +50,28 @@ def main(argv=None):
     parser.add_argument("-b", "--batch", type=int, default=None)
     parser.add_argument("--profile_dir", type=str, default=None,
                         help="Write a jax.profiler trace of epoch 1 here.")
+    # Multi-host (DCN) flags: a cross-host mesh is one flag set away
+    # (SURVEY.md §2.10 stretch). Run the same command on every host with
+    # its own --host_id; combine with --mesh_shape <total devices>.
+    parser.add_argument("--coordinator", type=str, default=None,
+                        help="host:port of host 0 (multi-host runs).")
+    parser.add_argument("--num_hosts", type=int, default=1)
+    parser.add_argument("--host_id", type=int, default=None)
     known, rest = parser.parse_known_args(argv)
+    # Must run before any other JAX device API.
+    mesh_lib.initialize_multihost(
+        known.coordinator, known.num_hosts, known.host_id
+    )
+    primary = mesh_lib.is_primary()
     overrides = {"batch": known.batch} if known.batch else {}
     cfg = Config.from_args(rest, **overrides)
 
     folder = cfg.folder
     folder_chp = cfg.folder_chp
-    folder.mkdir(parents=True, exist_ok=True)
-    folder_chp.mkdir(parents=True, exist_ok=True)
-    cfg.save(folder / "config.json")
+    if primary:
+        folder.mkdir(parents=True, exist_ok=True)
+        folder_chp.mkdir(parents=True, exist_ok=True)
+        cfg.save(folder / "config.json")
 
     agent = ActiveInferenceAgent(
         s_dim=cfg.s_dim,
@@ -157,9 +170,11 @@ def main(argv=None):
                 train_metrics = jax.tree.map(float, jax.device_get(train_metrics))
             env_sps = cfg.batch * cfg.repeats * cfg.rounds / (time.time() - epoch_t0)
 
-            if epoch % cfg.save_every == 0:
+            # Checkpoint/stat/viz writes are process-0-only on multi-host
+            # meshes (every host computes identically; one writes).
+            if primary and epoch % cfg.save_every == 0:
                 saver.save(folder_chp, state, stats, key, script_file=__file__)
-            if epoch % cfg.archive_every == 0:
+            if primary and epoch % cfg.archive_every == 0:
                 saver.wait()  # the archive copies the checkpoint dir
                 ckpt.archive(folder_chp, epoch)
 
@@ -221,7 +236,7 @@ def main(argv=None):
                 stats[k].append(float(ev[k]))
 
             # ---- artifacts (train.py:177-186) ---------------------------------
-            if epoch % cfg.viz_every == 0:
+            if primary and epoch % cfg.viz_every == 0:
                 generate_traversals(
                     decode_fn=lambda s: decode_fn(state.params, s),
                     s_dim=cfg.s_dim,
@@ -271,7 +286,8 @@ def main(argv=None):
             # Never let a failed *background* save skip the synchronous
             # final save below (ADVICE r2 #1).
             print(f"background save failed: {e!r}", flush=True)
-        ckpt.save_all(folder_chp, state, stats, key, script_file=__file__)
+        if primary:
+            ckpt.save_all(folder_chp, state, stats, key, script_file=__file__)
         raise SystemExit(130)
     saver.wait()
 

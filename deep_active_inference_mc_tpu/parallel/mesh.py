@@ -29,11 +29,50 @@ from deep_active_inference_mc_tpu.infer.agent import ActiveInferenceAgent
 from deep_active_inference_mc_tpu.train import loop as train_loop
 
 
+def initialize_multihost(
+    coordinator: Optional[str] = None,
+    num_hosts: int = 1,
+    host_id: Optional[int] = None,
+) -> None:
+    """Multi-host (DCN) wiring: ``jax.distributed.initialize`` so that
+    ``jax.devices()`` returns the GLOBAL device list and every mesh built
+    below spans hosts (SURVEY.md §2.10 stretch; the reference has no
+    distributed backend at all).
+
+    No-op for ``num_hosts <= 1`` — the single-host path never pays the
+    coordinator handshake. After initialization the data axis laid out by
+    ``make_mesh`` places host-local devices contiguously, so the per-pair
+    Megatron psums ride ICI and only the DP gradient all-reduce crosses DCN.
+    """
+    if num_hosts <= 1:
+        return
+    if coordinator is None:
+        raise ValueError("multi-host run needs --coordinator host:port")
+    jax.distributed.initialize(
+        coordinator_address=coordinator,
+        num_processes=num_hosts,
+        process_id=host_id,
+    )
+
+
+def is_primary() -> bool:
+    """True on the process that owns checkpoint/stats/viz writes (host 0).
+    Single-host runs are always primary."""
+    return jax.process_index() == 0
+
+
 def make_mesh(
     n_devices: Optional[int] = None, n_model: int = 1
 ) -> Mesh:
     """A ``data`` mesh (1-D), or a 2-D ``(data, model)`` mesh when
-    ``n_model > 1``. ``n_devices`` is the TOTAL device count used."""
+    ``n_model > 1``. ``n_devices`` is the TOTAL device count used.
+
+    Under ``initialize_multihost`` the device list is global;
+    ``jax.devices()`` orders it by (process, local id), so reshaping to
+    (data, model) keeps each host's devices contiguous on the data axis —
+    the TP 'model' groups never straddle DCN (unless tp > devices/host,
+    which the divisibility check below rejects only arithmetically: don't
+    do that)."""
     devices = jax.devices()
     if n_devices is not None:
         devices = devices[:n_devices]

@@ -151,3 +151,37 @@ def test_tensor_parallel_matches_single_device(lut):
         jax.device_get(state2.params),
     )
     assert max(jax.tree.leaves(diffs)) < 3e-4
+
+
+def test_multihost_wiring_single_host():
+    """Multi-host path (SURVEY §2.10 stretch): the single-host invocation is
+    a no-op, is_primary() is true, and a missing coordinator is rejected
+    before touching jax.distributed."""
+    import pytest as _pytest
+
+    mesh_lib.initialize_multihost(None, num_hosts=1)  # no-op, no raise
+    mesh_lib.initialize_multihost("ignored:1234", num_hosts=0)
+    assert mesh_lib.is_primary()
+    with _pytest.raises(ValueError, match="coordinator"):
+        mesh_lib.initialize_multihost(None, num_hosts=2, host_id=0)
+    # Mesh from a device subset (the host-local slice of a global list).
+    m = mesh_lib.make_mesh(4)
+    assert m.devices.size == 4 and m.axis_names == ("data",)
+
+
+def test_non_primary_host_writes_nothing(tmp_path, monkeypatch):
+    """Process-0 gating: a non-primary trainer process trains but writes no
+    checkpoints, config, stats or figures."""
+    from deep_active_inference_mc_tpu.apps import train as train_app
+    from deep_active_inference_mc_tpu.parallel import mesh as pm
+
+    monkeypatch.setattr(pm, "is_primary", lambda: False)
+    argv = [
+        "--batch", "4", "--rounds", "2", "--test_size", "4",
+        "--epochs", "1", "--samples", "1",
+        "--sweep_envs", "4", "--sweep_steps", "2",
+        "--out_root", str(tmp_path),
+    ]
+    train_app.main(argv)
+    leftovers = [p for p in tmp_path.rglob("*") if p.is_file()]
+    assert leftovers == [], leftovers
