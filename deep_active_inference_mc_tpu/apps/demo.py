@@ -464,6 +464,35 @@ def run_headless_fused(demo: Demo, duration: int):
     )
 
 
+def run_record(demo: Demo, duration: int, path: str):
+    """Record a reference-style demo gif (the reference ships
+    ``dsprites.gif``, a 1001-frame recording of its demo loop): run the
+    host-driven controller loop and save every composited frame — sprite +
+    reward strip + center marker + (for mcts) the planned-trajectory visit
+    mask (test_demo.py:207-210)."""
+    import time as _time
+
+    from PIL import Image
+
+    t0 = _time.time()
+    frames = []
+    for _ in range(duration):
+        demo.tick()
+        f = np.clip(demo.frame() * 255.0, 0.0, 255.0).astype(np.uint8)
+        frames.append(
+            Image.fromarray(f, mode="L").resize((256, 256), Image.NEAREST)
+        )
+    frames[0].save(
+        path, save_all=True, append_images=frames[1:], duration=50, loop=0
+    )
+    print(
+        f"recorded {duration} frames -> {path} "
+        f"({_time.time() - t0:.1f}s, final score {demo.score:.2f}, "
+        f"method={demo.method})",
+        flush=True,
+    )
+
+
 def main(argv=None):
     from deep_active_inference_mc_tpu.utils import compcache
 
@@ -488,6 +517,10 @@ def main(argv=None):
                         "test_demo.py:40, SURVEY.md §2.8.")
     parser.add_argument("--headless", type=int, default=0,
                         help="Run N frames without a display.")
+    parser.add_argument("--record", type=str, default="",
+                        help="Record --duration frames to this gif "
+                        "(reference dsprites.gif analogue) instead of "
+                        "opening a display.")
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args(argv)
 
@@ -503,7 +536,9 @@ def main(argv=None):
         print("No checkpoint given (-n); using untrained weights.")
 
     demo = Demo(agent, params, cfg, args)
-    if args.headless:
+    if args.record:
+        run_record(demo, args.duration, args.record)
+    elif args.headless:
         run_headless(demo, args.headless)
     else:
         run_interactive(demo, args.duration)
