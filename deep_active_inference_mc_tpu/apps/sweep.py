@@ -50,6 +50,10 @@ def main(argv=None):
                         "--samples 10).")
     parser.add_argument("--mcts_repeats", type=int, default=50)
     parser.add_argument("--mcts_depth", type=int, default=3)
+    parser.add_argument("--mcts_fused", action="store_true",
+                        help="Mega-batched expand+simulate evaluator "
+                        "(same estimators, ~1 dispatch per network per "
+                        "iteration; plan/mcts.py:_fused_expand_sim).")
     parser.add_argument("--mesh", action="store_true",
                         help="Shard envs over all devices.")
     parser.add_argument("--seed", type=int, default=0)
@@ -83,7 +87,7 @@ def main(argv=None):
         calc_mean=not args.sample_G,
         mcts_params=MCTSParams(
             repeats=args.mcts_repeats, simulation_depth=args.mcts_depth,
-            max_depth=16,
+            max_depth=16, fused_eval=args.mcts_fused,
         ),
     )
     out = jax.device_get(out)
@@ -95,6 +99,8 @@ def main(argv=None):
         f"(std {float(out['score_std']):.3f}, min {float(out['score_min']):.2f}, "
         f"max {float(out['score_max']):.2f}) "
         f"scoring_events={int(out['scoring_events'])} "
+        f"events_sq={int(out['events_sq'])} events_other={int(out['events_other'])} "
+        f"score_sq={float(out['score_sq']):.3f} score_other={float(out['score_other']):.3f} "
         f"env_steps/s={frames / dt:.3e} wall={dt:.1f}s",
         flush=True,
     )
