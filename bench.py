@@ -6,6 +6,11 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} with the
 headline metric (env steps/sec, vs the 1e5/chip target) plus secondary keys.
+
+Timing sync note: on the axon-tunnel platform ``jax.block_until_ready``
+can return before remote execution finishes (the buffer is merely
+*defined*); ``jax.device_get`` forces the value transfer and is the only
+trustworthy fence — every timed region here ends in one.
 """
 
 from __future__ import annotations
@@ -51,12 +56,12 @@ def bench_env_steps(lut):
 
     # warmup/compile
     state, chk = run(state, jax.random.key(1))
-    jax.block_until_ready(chk)
+    jax.device_get(chk)
     t0 = time.perf_counter()
     reps = 3
     for i in range(reps):
         state, chk = run(state, jax.random.key(2 + i))
-    jax.block_until_ready(chk)
+    jax.device_get(chk)
     dt = time.perf_counter() - t0
     return ENV_BATCH * ENV_ITERS * reps / dt
 
@@ -79,12 +84,12 @@ def bench_efe_rollouts(agent, params, lut):
         return out.sum()
 
     chk = run(jax.random.key(1), o)
-    jax.block_until_ready(chk)
+    jax.device_get(chk)
     t0 = time.perf_counter()
     reps = 3
     for i in range(reps):
         chk = run(jax.random.key(2 + i), o)
-    jax.block_until_ready(chk)
+    jax.device_get(chk)
     dt = time.perf_counter() - t0
     return EFE_BATCH * 4 * EFE_ITERS * reps / dt
 
@@ -105,14 +110,14 @@ def bench_mcts_plans(agent, params, lut, repeats=50, fused=False, reps=3):
     planner = mcts_lib.make_jit_planner(agent, p)
 
     res = planner(params, jax.random.key(1), o)
-    jax.block_until_ready(res.actions)
+    jax.device_get(res.actions[0, 0])
     t0 = time.perf_counter()
     capped = done = 0.0
     for i in range(reps):
         res = planner(params, jax.random.key(2 + i), o)
         capped += float(jnp.sum(res.depth_capped))
         done += float(jnp.sum(res.repeats_done))
-    jax.block_until_ready(res.actions)
+    jax.device_get(res.actions[0, 0])
     dt = time.perf_counter() - t0
     return B * reps / dt, capped / max(done, 1.0)
 
@@ -134,11 +139,11 @@ def bench_train_round(lut, batch=512, bf16=False, rounds=16, reps=3):
     epoch_fn = train_loop.make_jit_epoch(agent, cfg, lut, rounds)
 
     state, metrics = epoch_fn(state, jax.random.key(1))
-    jax.block_until_ready(metrics["F_down"])
+    jax.device_get(metrics["F_down"])
     t0 = time.perf_counter()
     for i in range(reps):
         state, metrics = epoch_fn(state, jax.random.key(2 + i))
-    jax.block_until_ready(metrics["F_down"])
+    jax.device_get(metrics["F_down"])
     dt = time.perf_counter() - t0
     return cfg.batch * cfg.repeats * rounds * reps / dt
 
