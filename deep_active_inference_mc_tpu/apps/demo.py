@@ -107,6 +107,7 @@ class Demo:
             simulation_depth=args.depth,
             use_habit=not args.no_habit,
             use_means=True,
+            fused_eval=getattr(args, "fused", False),
         )
         self._planner = mcts_lib.make_jit_planner(
             agent, mcts_params, collect_paths=True
@@ -317,6 +318,7 @@ def make_fused_round(agent, method: str, args, lut):
         simulation_depth=args.depth,
         use_habit=not args.no_habit,
         use_means=True,
+        fused_eval=getattr(args, "fused", False),
     )
     jumps, steps, temp = args.jumps, args.steps, args.temperature
     maxq = max(mcts_params.max_depth * jumps, steps * jumps, steps)
@@ -521,6 +523,9 @@ def main(argv=None):
                         help="Record --duration frames to this gif "
                         "(reference dsprites.gif analogue) instead of "
                         "opening a display.")
+    parser.add_argument("--fused", action="store_true",
+                        help="Mega-batched MCTS expand+simulate evaluator "
+                        "(fewer dispatches per planner iteration).")
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args(argv)
 
