@@ -68,6 +68,15 @@ class MCTSParams:
     # bitwise identical — the estimator's *distribution* is (see
     # tests/test_mcts.py fused-vs-unfused statistics test).
     fused_eval: bool = False
+    # Virtual-loss parallel expansion: expand ``expand_k`` leaves per
+    # sequential iteration (selection walks diverge via virtual visits
+    # applied between walks), evaluating all k expansions + simulations in
+    # one k*B batch. ceil(repeats / expand_k) iterations keep the total
+    # expansion budget. expand_k=1 is the reference-exact sequential search;
+    # >1 is an explicit approximation (walks within an iteration cannot see
+    # each other's G results — standard virtual-loss semantics) that cuts
+    # the sequential critical path k-fold.
+    expand_k: int = 1
 
 
 class MCTSResult(NamedTuple):
@@ -410,7 +419,11 @@ def active_inference_mcts(
     """
     B = frames.shape[0]
     A = agent.pi_dim
-    N_max = 4 * (p.repeats + 1) + 2  # root + children per iteration + pad row
+    # ceil(repeats / expand_k) sequential iterations of expand_k expansions
+    # each preserve the total expansion budget.
+    n_iters = -(-p.repeats // p.expand_k)
+    n_expansions = n_iters * p.expand_k
+    N_max = A * (n_expansions + 1) + 2  # root + children per expansion + pad
     k_habit, k_root, k_loop, k_final = jax.random.split(key, 4)
 
     # Root: posterior MEAN of the encoded frame (mcts.py:158-161).
@@ -460,11 +473,11 @@ def active_inference_mcts(
 
     bidx = jnp.arange(B)
     paths_buf = (
-        jnp.full((p.repeats, B, p.max_depth), -1, jnp.int32)
+        jnp.full((n_expansions, B, p.max_depth), -1, jnp.int32)
         if collect_paths
         else None
     )
-    paths_G_buf = jnp.zeros((p.repeats, B)) if collect_paths else None
+    paths_G_buf = jnp.zeros((n_expansions, B)) if collect_paths else None
 
     def _phase_b_done(tree):
         # phase B check (mcts.py:176-181): normalized root visits confident.
@@ -478,7 +491,7 @@ def active_inference_mcts(
         # batches stop paying expand+simulate cost. `done` rides the carry
         # (computed once per iteration, at the end of the previous one).
         i, tree, _, _, done = carry
-        return jnp.logical_and(i < p.repeats, jnp.any(~done))
+        return jnp.logical_and(i < n_iters, jnp.any(~done))
 
     def iteration(carry):
         i, tree, paths_buf, paths_G_buf, done = carry
@@ -577,9 +590,124 @@ def active_inference_mcts(
             paths_G_buf = paths_G_buf.at[i].set(G_sim)
         return i + 1, tree, paths_buf, paths_G_buf, _phase_b_done(tree)
 
+    def iteration_k(carry):
+        """expand_k > 1: k virtual-loss selection walks, ONE k*B-batch G
+        evaluation, k seed+backprop scatters. The dN half of backprop is
+        applied at select time (the virtual visit) so successive walks
+        diverge; the dG half lands after evaluation — an active env's final
+        tree state per walk matches the sequential path exactly except that
+        walks within an iteration cannot see each other's G results."""
+        i, tree, paths_buf, paths_G_buf, done = carry
+        kx = p.expand_k
+        k_i = jax.random.fold_in(k_loop, i)
+        keys = jax.random.split(k_i, 1 + kx)
+        k_eval, k_sels = keys[0], keys[1:]
+        active = ~done
+
+        pre_children = tree.children
+        walks = []
+        for j in range(kx):
+            nodes, acts, lens, leaf = _select(
+                tree, p.C, p.using_prior_for_exploration, p.max_depth,
+                deterministic=p.deterministic_selection, key=k_sels[j],
+            )
+            valid = (nodes >= 0) & active[:, None]
+            node_t = jnp.where(valid, nodes, N_max - 1)
+            act_t = jnp.where(valid, acts, 0)
+            b_t = jnp.broadcast_to(bidx[:, None], nodes.shape)
+            tree = tree.replace(
+                N=tree.N.at[b_t, node_t, act_t].add(
+                    valid.astype(jnp.float32)
+                )
+            )
+            walks.append((acts, leaf, valid, node_t, act_t, b_t))
+
+        leaves = jnp.stack([w[1] for w in walks])  # (k, B)
+        leaf_s_all = tree.s[bidx[None], leaves].reshape(kx * B, -1)
+        if use_fused:
+            G_leaf_a, ps_next_a, G_sim_a, Qpi_a = _fused_expand_sim(
+                agent, params, k_eval, leaf_s_all, p
+            )
+        else:
+            k_exp, k_sim = jax.random.split(k_eval)
+            G_leaf_a, ps_next_a = _expand_G(
+                agent, params, k_exp, leaf_s_all, p
+            )
+            leaf_rep = jnp.repeat(leaf_s_all, p.simulation_repeats, axis=0)
+            G_sim_r, _, Qpi_r = efe.mcts_step_simulate(
+                agent, params, k_sim, leaf_rep, p.simulation_depth,
+                use_means=False,
+            )
+            G_sim_a = G_sim_r.reshape(kx * B, p.simulation_repeats).mean(-1)
+            Qpi_a = Qpi_r.reshape(kx * B, p.simulation_repeats, A)[:, 0]
+        G_leaf_a = G_leaf_a.reshape(kx, B, A)
+        ps_next_a = ps_next_a.reshape(kx, B, A, -1)
+        G_sim_a = G_sim_a.reshape(kx, B)
+        Qpi_a = Qpi_a.reshape(kx, B, A)
+
+        new_W, new_N = tree.W, tree.N
+        new_children, new_Qpi, new_s = tree.children, tree.Qpi, tree.s
+        capped = jnp.zeros((B,), jnp.int32)
+        for j in range(kx):
+            acts, leaf, valid, node_t, act_t, b_t = walks[j]
+            dup = jnp.zeros((B,), bool)
+            for jj in range(j):  # same leaf picked twice: expand once
+                dup = dup | (walks[jj][1] == leaf)
+            is_true_leaf = pre_children[bidx, leaf, 0] < 0
+            mask = (active & is_true_leaf & ~dup)[:, None]
+            base = A + 1 + A * (i * kx + j)
+            child_ids = jnp.broadcast_to(
+                base + jnp.arange(A, dtype=jnp.int32), (B, A)
+            )
+            new_W = new_W.at[bidx, leaf].set(
+                jnp.where(
+                    mask, new_W[bidx, leaf] - G_leaf_a[j], new_W[bidx, leaf]
+                )
+            )
+            new_N = new_N.at[bidx, leaf].set(
+                jnp.where(mask, new_N[bidx, leaf] + 1.0, new_N[bidx, leaf])
+            )
+            new_children = new_children.at[bidx, leaf].set(
+                jnp.where(mask, child_ids, new_children[bidx, leaf])
+            )
+            new_Qpi = new_Qpi.at[bidx, leaf].set(
+                jnp.where(mask, Qpi_a[j], new_Qpi[bidx, leaf])
+            )
+            old_slots = jax.lax.dynamic_slice(
+                new_s, (0, base, 0), (B, A, new_s.shape[-1])
+            )
+            new_s = jax.lax.dynamic_update_slice(
+                new_s,
+                jnp.where(mask[:, :, None], ps_next_a[j], old_slots),
+                (0, base, 0),
+            )
+            # dG half of backprop (dN was the virtual visit above).
+            new_W = new_W.at[b_t, node_t, act_t].add(
+                jnp.where(valid, -G_sim_a[j][:, None], 0.0)
+            )
+            capped = capped + (active & ~is_true_leaf).astype(jnp.int32)
+            if collect_paths:
+                paths_buf = paths_buf.at[i * kx + j].set(
+                    jnp.where(active[:, None], acts, -1)
+                )
+                paths_G_buf = paths_G_buf.at[i * kx + j].set(G_sim_a[j])
+
+        tree = _Tree(
+            s=new_s, W=new_W, N=new_N, Qpi=new_Qpi, children=new_children,
+            done=done,
+            repeats_done=tree.repeats_done + kx * active.astype(jnp.int32),
+            states_explored=tree.states_explored
+            + kx
+            * active.astype(jnp.int32)
+            * p.simulation_depth
+            * p.simulation_repeats,
+            depth_capped=tree.depth_capped + capped,
+        )
+        return i + 1, tree, paths_buf, paths_G_buf, _phase_b_done(tree)
+
     _, tree, paths_buf, paths_G_buf, done = jax.lax.while_loop(
         loop_cond,
-        iteration,
+        iteration_k if p.expand_k > 1 else iteration,
         (
             jnp.asarray(0, jnp.int32),
             tree,

@@ -394,3 +394,58 @@ def test_fused_planner_end_to_end():
     assert np.all(np.asarray(res.depth_capped) >= 0)
     assert np.all(np.asarray(res.depth_capped) <= np.asarray(res.repeats_done))
     assert np.all(np.isfinite(np.asarray(res.root_Qpi)))
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_expand_k_virtual_loss_mechanics(monkeypatch, seed):
+    """expand_k>1 (virtual-loss parallel expansion): bookkeeping invariants
+    hold — every walk contributes exactly one visit along its path, the
+    expansion budget matches ceil(repeats/k)*k, and on the deterministic
+    mock landscape the chosen root action agrees with the sequential
+    (expand_k=1) search."""
+    monkeypatch.setattr(amcts.efe, "calculate_G_mean", mock_calculate_G_mean)
+    monkeypatch.setattr(amcts.efe, "mcts_step_simulate", mock_step_simulate)
+
+    rng = np.random.RandomState(seed)
+    roots = rng.randn(3, S_DIM).astype(np.float32) * 0.5
+    base = dict(repeats=12, threshold=10.0, use_means=True, max_depth=16)
+    p1 = MCTSParams(**base, expand_k=1)
+    p4 = MCTSParams(**base, expand_k=4)
+    res1 = amcts.active_inference_mcts(
+        MockAgent(), {}, jax.random.key(0), jnp.asarray(roots), p1
+    )
+    res4 = amcts.active_inference_mcts(
+        MockAgent(), {}, jax.random.key(0), jnp.asarray(roots), p4,
+        return_tree=True,
+    )
+    # threshold=10 -> no phase-B exit: full budget spent in both.
+    assert np.all(np.asarray(res1.repeats_done) == 12)
+    assert np.all(np.asarray(res4.repeats_done) == 12)
+    # Root visits: A seed visits + one per walk (12), minus nothing (no caps
+    # at this depth/budget).
+    assert np.all(np.asarray(res4.depth_capped) == 0)
+    np.testing.assert_allclose(
+        np.asarray(res4.root_N).sum(-1), A + 12, rtol=1e-5
+    )
+    # Deterministic easy landscape: both searches pick the same root action.
+    a1 = np.argmax(np.asarray(res1.root_N), axis=-1)
+    a4 = np.argmax(np.asarray(res4.root_N), axis=-1)
+    np.testing.assert_array_equal(a1, a4)
+    # Tree sanity: every expanded node's children ids are in range.
+    ch = np.asarray(res4.tree.children)
+    assert ch.max() < ch.shape[1]
+
+
+def test_expand_k_real_agent_fused():
+    """expand_k + fused_eval on the real nets under jit."""
+    from deep_active_inference_mc_tpu.infer.agent import ActiveInferenceAgent
+
+    agent = ActiveInferenceAgent(s_dim=10, pi_dim=4)
+    params = agent.init(jax.random.key(0))
+    frames = jax.random.uniform(jax.random.key(1), (2, 64, 64, 1))
+    p = MCTSParams(repeats=8, simulation_depth=2, max_depth=8,
+                   fused_eval=True, expand_k=4)
+    res = amcts.make_jit_planner(agent, p)(params, jax.random.key(2), frames)
+    assert res.actions.shape == (2, 8)
+    assert np.all(np.asarray(res.root_N).sum(-1) >= 4)
+    assert np.all(np.isfinite(np.asarray(res.all_paths_G))) if res.all_paths_G is not None else True
