@@ -94,7 +94,8 @@ def bench_efe_rollouts(agent, params, lut):
     return EFE_BATCH * 4 * EFE_ITERS * reps / dt
 
 
-def bench_mcts_plans(agent, params, lut, repeats=50, fused=False, reps=3):
+def bench_mcts_plans(agent, params, lut, repeats=50, fused=False, reps=3,
+                     expand_k=1):
     """Batched array-MCTS planning throughput: full ``repeats``-expansion
     searches with depth-3 habit simulations, 256 envs planning
     simultaneously. Returns (plans/s, depth-cap bind fraction: no-op
@@ -105,7 +106,8 @@ def bench_mcts_plans(agent, params, lut, repeats=50, fused=False, reps=3):
     state = env_lib.reset(jax.random.key(0), B)
     o = env_lib.render(lut, state)
     p = mcts_lib.MCTSParams(
-        repeats=repeats, simulation_depth=3, max_depth=16, fused_eval=fused
+        repeats=repeats, simulation_depth=3, max_depth=16, fused_eval=fused,
+        expand_k=expand_k,
     )
     planner = mcts_lib.make_jit_planner(agent, p)
 
@@ -175,6 +177,12 @@ def main():
     mcts_ref, cap_frac = bench_mcts_plans(
         agent_bf16, params, lut, repeats=300, fused=True, reps=1
     )
+    # Virtual-loss mode (expand_k=4): 4 expansions per sequential
+    # iteration — an explicit approximation of the sequential search
+    # (MCTSParams.expand_k docs) benched at the reference budget.
+    mcts_ref_k4, cap_frac_k4 = bench_mcts_plans(
+        agent_bf16, params, lut, repeats=300, fused=True, reps=1, expand_k=4
+    )
     train_sps = bench_train_round(lut, batch=512)
     train_bf16 = bench_train_round(lut, batch=512, bf16=True)
     train_2048 = bench_train_round(lut, batch=2048, bf16=True, reps=2)
@@ -184,7 +192,8 @@ def main():
         f"efe_rollouts/s: {efe_rps:.3e} (target {TARGET_EFE_ROLLOUTS:.0e}), "
         f"mcts_plans/s: {mcts_pps:.3e} (50 exp, depth-3 sims) | fused "
         f"{mcts_fused:.3e} | fused+bf16 {mcts_fused_bf16:.3e} | ref-budget "
-        f"300exp {mcts_ref:.3e} (cap binds {cap_frac:.1%}), "
+        f"300exp {mcts_ref:.3e} (cap binds {cap_frac:.1%}) | +k4 "
+        f"{mcts_ref_k4:.3e}, "
         f"train_env_steps/s: {train_sps:.3e} (b512) | bf16 {train_bf16:.3e} "
         f"| b2048+bf16 {train_2048:.3e}",
         file=sys.stderr,
@@ -202,6 +211,7 @@ def main():
                 "mcts_plans_per_sec_fused": mcts_fused,
                 "mcts_plans_per_sec_fused_bf16": mcts_fused_bf16,
                 "mcts_plans_per_sec_ref_budget": mcts_ref,
+                "mcts_plans_per_sec_ref_budget_k4": mcts_ref_k4,
                 "mcts_depth_cap_bind_frac": cap_frac,
                 "train_env_steps_per_sec": train_sps,
                 "train_env_steps_per_sec_bf16": train_bf16,
