@@ -38,7 +38,7 @@ from deep_active_inference_mc_tpu.utils import profiling
 from deep_active_inference_mc_tpu.utils import stats as stats_lib
 from deep_active_inference_mc_tpu.viz.generate_traversals import generate_traversals
 from deep_active_inference_mc_tpu.viz.reconstructions_plot import reconstructions_plot
-from deep_active_inference_mc_tpu.viz.stats_plot import stats_plot
+from deep_active_inference_mc_tpu.viz.stats_plot import behavior_plot, stats_plot
 
 
 def main(argv=None):
@@ -50,15 +50,28 @@ def main(argv=None):
     parser.add_argument("-b", "--batch", type=int, default=None)
     parser.add_argument("--profile_dir", type=str, default=None,
                         help="Write a jax.profiler trace of epoch 1 here.")
+    # Multi-host (DCN) flags: a cross-host mesh is one flag set away
+    # (SURVEY.md §2.10 stretch). Run the same command on every host with
+    # its own --host_id; combine with --mesh_shape <total devices>.
+    parser.add_argument("--coordinator", type=str, default=None,
+                        help="host:port of host 0 (multi-host runs).")
+    parser.add_argument("--num_hosts", type=int, default=1)
+    parser.add_argument("--host_id", type=int, default=None)
     known, rest = parser.parse_known_args(argv)
+    # Must run before any other JAX device API.
+    mesh_lib.initialize_multihost(
+        known.coordinator, known.num_hosts, known.host_id
+    )
+    primary = mesh_lib.is_primary()
     overrides = {"batch": known.batch} if known.batch else {}
     cfg = Config.from_args(rest, **overrides)
 
     folder = cfg.folder
     folder_chp = cfg.folder_chp
-    folder.mkdir(parents=True, exist_ok=True)
-    folder_chp.mkdir(parents=True, exist_ok=True)
-    cfg.save(folder / "config.json")
+    if primary:
+        folder.mkdir(parents=True, exist_ok=True)
+        folder_chp.mkdir(parents=True, exist_ok=True)
+        cfg.save(folder / "config.json")
 
     agent = ActiveInferenceAgent(
         s_dim=cfg.s_dim,
@@ -108,7 +121,35 @@ def main(argv=None):
         agent, cfg, lut, method="ai", n_macro_steps=cfg.sweep_steps,
         steps=cfg.deepness, samples=cfg.samples, jumps=cfg.repeats,
     )
+    habit_fn = sweep_lib.make_sweep(
+        agent, cfg, lut, method="habit", n_macro_steps=cfg.sweep_steps,
+        jumps=cfg.repeats,
+    )
     decode_fn = jax.jit(lambda p, s: agent.decode(p, s))
+
+    # FIXED sweep PRNG + envs: the per-epoch score series is paired across
+    # epochs (same initial envs, same noise stream — differences come from
+    # params only), so learning is visible above sweep noise (VERDICT r2
+    # weak #2). Constant expert/random baselines on the same PRNG give a
+    # normalized scale.
+    k_sweep = jax.random.key(20260817)
+    k_env2, k_sw = jax.random.split(k_sweep)
+    sweep_env = train_loop.env_lib.randomize(
+        k_env2, train_loop.env_lib.reset(k_env2, cfg.sweep_envs)
+    )
+    sweep_base = {}
+    for meth in ("random", "expert"):
+        fn = sweep_lib.make_sweep(
+            agent, cfg, lut, method=meth, n_macro_steps=cfg.sweep_steps,
+            jumps=cfg.repeats,
+        )
+        b = jax.device_get(fn(state.params, k_sw, sweep_env))
+        sweep_base[meth] = float(b["score_mean"])
+    print(
+        f"sweep baselines (fixed PRNG, {cfg.sweep_envs} envs x "
+        f"{cfg.sweep_steps} macro): random {sweep_base['random']:+.3f}, "
+        f"expert {sweep_base['expert']:+.3f}", flush=True,
+    )
 
     start_time = time.time()
     saver = ckpt.AsyncSaver()
@@ -129,9 +170,11 @@ def main(argv=None):
                 train_metrics = jax.tree.map(float, jax.device_get(train_metrics))
             env_sps = cfg.batch * cfg.repeats * cfg.rounds / (time.time() - epoch_t0)
 
-            if epoch % cfg.save_every == 0:
+            # Checkpoint/stat/viz writes are process-0-only on multi-host
+            # meshes (every host computes identically; one writes).
+            if primary and epoch % cfg.save_every == 0:
                 saver.save(folder_chp, state, stats, key, script_file=__file__)
-            if epoch % cfg.archive_every == 0:
+            if primary and epoch % cfg.archive_every == 0:
                 saver.wait()  # the archive copies the checkpoint dir
                 ckpt.archive(folder_chp, epoch)
 
@@ -170,21 +213,30 @@ def main(argv=None):
             stats["mse_r"].append(float(ev["mse_r"]))
             stats["deep_mse_o"].append(float(ev["deep_mse_o"]))
 
-            key, k_score = jax.random.split(key)
-            k_env2, k_sw = jax.random.split(k_score)
-            sweep_env = train_loop.env_lib.randomize(
-                k_env2, train_loop.env_lib.reset(k_env2, cfg.sweep_envs)
-            )
             sc = jax.device_get(score_fn(state.params, k_sw, sweep_env))
+            sc_h = jax.device_get(
+                habit_fn(state.params, jax.random.fold_in(k_sw, 1), sweep_env)
+            )
             stats["score"].append(float(sc["score_mean"]))
             stats["train_scores_m"].append(float(sc["score_mean"]))
             stats["train_scores_std"].append(float(sc["score_std"]))
             stats["train_scores_sem"].append(float(sc["score_sem"]))
             stats["train_scores_min"].append(float(sc["score_min"]))
             stats["train_scores_max"].append(float(sc["score_max"]))
+            stats["train_scores_habit_m"].append(float(sc_h["score_mean"]))
+            stats["train_scores_habit_sem"].append(float(sc_h["score_sem"]))
+            stats["train_events_sq"].append(float(sc["events_sq"]))
+            stats["train_events_other"].append(float(sc["events_other"]))
+            stats["train_scores_sq"].append(float(sc["score_sq"]))
+            stats["train_scores_other"].append(float(sc["score_other"]))
+            stats["train_scores_expert"].append(sweep_base["expert"])
+            stats["train_scores_random"].append(sweep_base["random"])
+            for k in ("edge_habit_correct", "edge_habit_wrong",
+                      "edge_g_correct", "edge_g_wrong"):
+                stats[k].append(float(ev[k]))
 
             # ---- artifacts (train.py:177-186) ---------------------------------
-            if epoch % cfg.viz_every == 0:
+            if primary and epoch % cfg.viz_every == 0:
                 generate_traversals(
                     decode_fn=lambda s: decode_fn(state.params, s),
                     s_dim=cfg.s_dim,
@@ -204,6 +256,7 @@ def main(argv=None):
                     / f"reward_imagination_{cfg.signature}_{epoch}.png",
                 )
                 stats_plot(stats, folder / f"1_result_{cfg.signature}")
+                behavior_plot(stats, folder / f"2_behavior_{cfg.signature}")
 
             print(
                 f"{epoch}, F: {stats['F'][-1]:.2f}, MSEo: {stats['mse_o'][-1]:.3f} "
@@ -211,7 +264,10 @@ def main(argv=None):
                 f"KLs: {stats['kl_div_s'][-1]:.2f}, "
                 f"omega: {stats['omega'][-1]:.2f}+-{stats['omega_std'][-1]:.2f}, "
                 f"KLpi: {stats['kl_div_pi'][-1]:.2f}, TC: {stats['TC'][-1]:.2f}, "
-                f"score: {stats['score'][-1]:.2f}, "
+                f"score: {stats['score'][-1]:.2f} "
+                f"(h {stats['train_scores_habit_m'][-1]:.2f}), "
+                f"edge: h {stats['edge_habit_correct'][-1] - stats['edge_habit_wrong'][-1]:+.3f} "
+                f"g {stats['edge_g_correct'][-1] - stats['edge_g_wrong'][-1]:+.3f}, "
                 f"env_steps/s: {env_sps:.2e}, "
                 f"dur. {time.time() - start_time:.2f}s",
                 flush=True,
@@ -224,8 +280,14 @@ def main(argv=None):
         # an interrupt saves a resumable checkpoint instead of
         # losing up to save_every epochs of work.
         print("Interrupted — saving checkpoint for --resume", flush=True)
-        saver.wait()
-        ckpt.save_all(folder_chp, state, stats, key, script_file=__file__)
+        try:
+            saver.wait()  # may re-raise a stored background-writer error
+        except Exception as e:
+            # Never let a failed *background* save skip the synchronous
+            # final save below (ADVICE r2 #1).
+            print(f"background save failed: {e!r}", flush=True)
+        if primary:
+            ckpt.save_all(folder_chp, state, stats, key, script_file=__file__)
         raise SystemExit(130)
     saver.wait()
 
