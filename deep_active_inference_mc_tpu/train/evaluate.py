@@ -164,11 +164,17 @@ def edge_discrimination_probe(
     )
     p_pi = jax.nn.softmax(-G / cfg.temperature, axis=-1)
     g_corr, g_wrong = split_correct_wrong(p_pi[:, 0])
+    # Raw G gap in nats (temperature-independent): mean G(up) on the wrong
+    # side minus on the correct side — positive = the EFE estimate prefers
+    # scoring on the correct side, however softly the T=10 data policy
+    # expresses it.
+    gup_corr, gup_wrong = split_correct_wrong(G[:, 0])
     return {
         "edge_habit_correct": h_corr,
         "edge_habit_wrong": h_wrong,
         "edge_g_correct": g_corr,
         "edge_g_wrong": g_wrong,
+        "edge_g_gap_nats": gup_wrong - gup_corr,
     }
 
 

@@ -205,6 +205,12 @@ def behavior_plot(stats, filename):
     ax.axhline(0.25, color="k", ls=":", lw=0.8, label="uniform")
     ax.set_ylabel("P(up) at scoring edge (-- wrong side)")
     ax.set_xlabel("epochs")
+    gap = np.asarray(stats.get("edge_g_gap_nats", []))
+    if len(gap):
+        ax2 = ax.twinx()
+        ax2.plot(offx(gap), gap, color="tab:red", lw=0.8, alpha=0.7)
+        ax2.axhline(0.0, color="tab:red", lw=0.4, alpha=0.4)
+        ax2.set_ylabel("G gap (nats, red)", color="tab:red", fontsize=8)
     ax.legend(fontsize=7)
     ax.grid(True)
 
