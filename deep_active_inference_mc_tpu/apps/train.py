@@ -42,7 +42,21 @@ from deep_active_inference_mc_tpu.viz.stats_plot import behavior_plot, stats_plo
 
 
 def main(argv=None):
+    import signal
+
     from deep_active_inference_mc_tpu.utils import compcache
+
+    # Interrupt-safe shutdown must work however the trainer was spawned:
+    # a non-interactive shell starts background jobs with SIGINT set to
+    # SIG_IGN (so CPython never installs its own handler — watchdog-spawned
+    # trainers were unstoppable by SIGINT), and supervisors send SIGTERM.
+    # Route both to the KeyboardInterrupt path, which writes a resumable
+    # checkpoint (below).
+    def _interrupt(signum, frame):
+        raise KeyboardInterrupt
+
+    signal.signal(signal.SIGINT, _interrupt)
+    signal.signal(signal.SIGTERM, _interrupt)
 
     compcache.enable_persistent_cache()
     parser = argparse.ArgumentParser(add_help=False)
