@@ -246,7 +246,8 @@ def main(argv=None):
             stats["train_scores_expert"].append(sweep_base["expert"])
             stats["train_scores_random"].append(sweep_base["random"])
             for k in ("edge_habit_correct", "edge_habit_wrong",
-                      "edge_g_correct", "edge_g_wrong", "edge_g_gap_nats"):
+                      "edge_g_correct", "edge_g_wrong", "edge_g_gap_nats",
+                      "edge_g_sq_gap_nats", "edge_g_oth_gap_nats"):
                 stats[k].append(float(ev[k]))
 
             # ---- artifacts (train.py:177-186) ---------------------------------

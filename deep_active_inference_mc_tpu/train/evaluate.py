@@ -169,12 +169,21 @@ def edge_discrimination_probe(
     # scoring on the correct side, however softly the T=10 data policy
     # expresses it.
     gup_corr, gup_wrong = split_correct_wrong(G[:, 0])
+    # Per-class decomposition: a side-agnostic "push right" heuristic can
+    # fake a positive combined gap (squares' gap negative, others' positive,
+    # others outnumbering 2:1 in the sweep scores). TRUE shape->side
+    # discrimination = BOTH class gaps positive.
+    Gup = G[:, 0].reshape(3, 32)
+    sq_gap = Gup[0, 16:].mean() - Gup[0, :16].mean()  # >0: sq prefers left
+    oth_gap = Gup[1:, :16].mean() - Gup[1:, 16:].mean()  # >0: oth prefers right
     return {
         "edge_habit_correct": h_corr,
         "edge_habit_wrong": h_wrong,
         "edge_g_correct": g_corr,
         "edge_g_wrong": g_wrong,
         "edge_g_gap_nats": gup_wrong - gup_corr,
+        "edge_g_sq_gap_nats": sq_gap,
+        "edge_g_oth_gap_nats": oth_gap,
     }
 
 

@@ -39,7 +39,7 @@ STATS_KEYS = [
     "train_scores_expert", "train_scores_random",
     "edge_habit_correct", "edge_habit_wrong",
     "edge_g_correct", "edge_g_wrong",
-    "edge_g_gap_nats",
+    "edge_g_gap_nats", "edge_g_sq_gap_nats", "edge_g_oth_gap_nats",
 ]
 
 
