@@ -42,7 +42,21 @@ from deep_active_inference_mc_tpu.viz.stats_plot import behavior_plot, stats_plo
 
 
 def main(argv=None):
+    import signal
+
     from deep_active_inference_mc_tpu.utils import compcache
+
+    # Interrupt-safe shutdown must work however the trainer was spawned:
+    # a non-interactive shell starts background jobs with SIGINT set to
+    # SIG_IGN (so CPython never installs its own handler — watchdog-spawned
+    # trainers were unstoppable by SIGINT), and supervisors send SIGTERM.
+    # Route both to the KeyboardInterrupt path, which writes a resumable
+    # checkpoint (below).
+    def _interrupt(signum, frame):
+        raise KeyboardInterrupt
+
+    signal.signal(signal.SIGINT, _interrupt)
+    signal.signal(signal.SIGTERM, _interrupt)
 
     compcache.enable_persistent_cache()
     parser = argparse.ArgumentParser(add_help=False)
@@ -232,7 +246,8 @@ def main(argv=None):
             stats["train_scores_expert"].append(sweep_base["expert"])
             stats["train_scores_random"].append(sweep_base["random"])
             for k in ("edge_habit_correct", "edge_habit_wrong",
-                      "edge_g_correct", "edge_g_wrong"):
+                      "edge_g_correct", "edge_g_wrong", "edge_g_gap_nats",
+                      "edge_g_sq_gap_nats", "edge_g_oth_gap_nats"):
                 stats[k].append(float(ev[k]))
 
             # ---- artifacts (train.py:177-186) ---------------------------------
