@@ -44,6 +44,10 @@ def main(argv=None):
     parser.add_argument("--samples", type=int, default=1)
     parser.add_argument("--jumps", type=int, default=5)
     parser.add_argument("--temp", type=float, default=1.0)
+    parser.add_argument("--crn", action="store_true",
+                        help="Common random numbers across the 4 candidate "
+                        "actions for the ai/t1/t12 controllers "
+                        "(efe.calculate_G_4_repeated_crn).")
     parser.add_argument("--sample_G", action="store_true",
                         help="Sample latents for G instead of means "
                         "(reference demo's default mode; pair with "
@@ -84,7 +88,7 @@ def main(argv=None):
         n_envs=args.envs, mesh=mesh, method=args.method,
         n_macro_steps=args.macro, steps=args.steps, samples=args.samples,
         jumps=args.jumps, temperature=args.temp,
-        calc_mean=not args.sample_G,
+        calc_mean=not args.sample_G, crn=args.crn,
         mcts_params=MCTSParams(
             repeats=args.mcts_repeats, simulation_depth=args.mcts_depth,
             max_depth=16, fused_eval=args.mcts_fused,

@@ -42,6 +42,16 @@ class Config:
     samples: int = 1
     repeats: int = 5
     temperature: float = 10.0  # softmax(-G) temperature (util.py:46)
+    # Common random numbers across the 4 candidate actions in the on-policy
+    # generator (efe.calculate_G_4_repeated_crn): the softmax(-G, T=10)
+    # action prior becomes signal-driven instead of argmax-of-MC-noise.
+    # TPU-native enhancement (explicit-key RNG); 0 = reference semantics.
+    crn: bool = False
+    # Exploration floor when sampling the executed action: sample from
+    # (1-eps)*Ppi + eps/pi_dim while the top-loss target stays the pure
+    # prior. Guards the transition model's action coverage when the CRN
+    # prior is sharp. 0 = reference semantics (sample the prior directly).
+    explore_eps: float = 0.0
 
     # VAE encoder/decoder dropout during the training losses (0/1). The torch
     # port trains with it unconditionally live (modules never .eval(),

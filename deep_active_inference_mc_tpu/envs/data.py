@@ -48,17 +48,32 @@ def make_batch_active_inference(
 
     # EFE of all actions: the reference tiles o0 4x against the one-hot
     # action matrix (util.py:57-62); identical row layout (action fastest).
+    # cfg.crn shares the MC noise across the 4 action lanes instead
+    # (efe.calculate_G_4_repeated_crn) so the prior ranks actions by
+    # signal, not by independent dropout draws.
     B = o0.shape[0]
-    o0_rep = jnp.repeat(o0, agent.pi_dim, axis=0)
-    pi_rep = jnp.tile(agent.pi_one_hot, (B, 1))
-    sum_G, _, _ = efe.calculate_G_repeated(
-        agent, params, k_G, o0_rep, pi_rep,
-        steps=cfg.deepness, calc_mean=True, samples=cfg.samples,
-    )
+    if cfg.crn:
+        G_ba, _, _ = efe.calculate_G_4_repeated_crn(
+            agent, params, k_G, o0,
+            steps=cfg.deepness, calc_mean=True, samples=cfg.samples,
+        )
+        sum_G = G_ba.reshape(-1)
+    else:
+        o0_rep = jnp.repeat(o0, agent.pi_dim, axis=0)
+        pi_rep = jnp.tile(agent.pi_one_hot, (B, 1))
+        sum_G, _, _ = efe.calculate_G_repeated(
+            agent, params, k_G, o0_rep, pi_rep,
+            steps=cfg.deepness, calc_mean=True, samples=cfg.samples,
+        )
     Ppi, log_Ppi = m.softmax_multi_with_log(
         -sum_G, agent.pi_dim, temperature=cfg.temperature
     )
-    actions = jax.random.categorical(k_act, jnp.log(Ppi + 1e-20), axis=-1)
+    # Executed action: optionally mixed with a uniform exploration floor;
+    # the top-loss target log_Ppi stays the pure prior either way.
+    P_act = Ppi
+    if cfg.explore_eps > 0.0:
+        P_act = (1.0 - cfg.explore_eps) * Ppi + cfg.explore_eps / agent.pi_dim
+    actions = jax.random.categorical(k_act, jnp.log(P_act + 1e-20), axis=-1)
     pi0 = jax.nn.one_hot(actions, agent.pi_dim, dtype=jnp.float32)
 
     env, _ = env_lib.step_repeated(

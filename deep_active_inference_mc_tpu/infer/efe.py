@@ -238,6 +238,48 @@ def calculate_G_4_repeated(
     return sum_G, sum_terms, po1s[-1]
 
 
+def calculate_G_4_repeated_crn(
+    agent: ActiveInferenceAgent,
+    params: Params,
+    key: jax.Array,
+    o: jax.Array,
+    steps: int = 1,
+    calc_mean: bool = False,
+    samples: int = 10,
+):
+    """All-actions G with **common random numbers** across the action axis.
+
+    TPU-native enhancement with no reference analogue (the torch port's
+    implicit global RNG draws independent dropout/reparam noise for every
+    tiled row, util.py:57-62, so the per-state *difference* G(a)-G(a') is
+    dominated by MC noise at samples=1). Explicit-key RNG lets every action
+    lane reuse the identical dropout masks and sample draws: the estimator
+    per action column is *exactly* ``calculate_G_repeated(key, o, pi=a)``
+    (same expectation, bit-equal per column), but differences between
+    actions become nearly noise-free at identical FLOP cost — which is what
+    the temperature-10 softmax(-G) action prior (util.py:68) actually
+    consumes.
+
+    Returns (sum_G, sum_terms, po1) with sum_G/terms shaped (B, pi_dim).
+    """
+    B = o.shape[0]
+
+    def one_action(pi_row):
+        pi = jnp.broadcast_to(pi_row, (B, agent.pi_dim))
+        sum_G, sum_terms, po1 = calculate_G_repeated(
+            agent, params, key, o, pi,
+            steps=steps, calc_mean=calc_mean, samples=samples,
+        )
+        return sum_G, sum_terms[0], sum_terms[1], sum_terms[2], po1
+
+    # vmap with the key closed over: every lane traces the *same* key, so
+    # dropout masks (shape (B, hidden)) and sample draws are shared.
+    G_a, t0, t1, t2, po1_a = jax.vmap(one_action)(agent.pi_one_hot)
+    # (A, B) -> (B, A); po1 back to the tiled (b,a)-fastest row layout.
+    po1 = jnp.swapaxes(po1_a, 0, 1).reshape((B * agent.pi_dim,) + po1_a.shape[2:])
+    return G_a.T, [t0.T, t1.T, t2.T], po1
+
+
 def calculate_G_given_trajectory(
     agent: ActiveInferenceAgent,
     params: Params,

@@ -37,7 +37,7 @@ METHODS = ("ai", "t1", "t12", "habit", "mcts", "random", "expert")
 
 def _controller_actions(
     agent, params, key, o, env, method, steps, samples, temperature,
-    mcts_params, calc_mean,
+    mcts_params, calc_mean, crn=False,
 ):
     """One planning decision per env: (B,) actions."""
     if method == "random":
@@ -59,7 +59,8 @@ def _controller_actions(
         return jnp.where(res.lengths > 0, first, root_best)
 
     k_G, k_act = jax.random.split(key)
-    G, terms, _ = efe.calculate_G_4_repeated(
+    g4 = efe.calculate_G_4_repeated_crn if crn else efe.calculate_G_4_repeated
+    G, terms, _ = g4(
         agent, params, k_G, o, steps=steps, calc_mean=calc_mean,
         samples=samples,
     )
@@ -99,6 +100,7 @@ def make_sweep(
     mesh=None,
     calc_mean: bool = True,
     zero_score: bool = True,
+    crn: bool = False,
 ):
     """Compile a sweep: (params, key, n_envs-batched env) -> score stats.
     ``zero_score=False`` continues accumulating a prior chunk's score
@@ -123,7 +125,7 @@ def make_sweep(
             o = render_fn(env)
             a = _controller_actions(
                 agent, params, k_plan, o, env, method, steps, samples,
-                temperature, mcts_params, calc_mean,
+                temperature, mcts_params, calc_mean, crn,
             )
             # The expert acts in env space (it reads ground-truth state);
             # agent controllers (and the random baseline) act in the

@@ -274,3 +274,57 @@ def test_jit_compiles_whole_G4(agent, params):
     o = jax.random.uniform(jax.random.key(17), (4, 64, 64, 1))
     G, _, _ = fn(jax.random.key(18), o)
     assert G.shape == (4, 4)
+
+
+def test_crn_columns_equal_single_action_path(agent, params):
+    """Each CRN column a must equal calculate_G_repeated(key, o, pi=a) with
+    the *same* key — CRN is exactly 'run every action under one key'."""
+    B = 3
+    o = jax.random.uniform(jax.random.key(41), (B, 64, 64, 1))
+    key = jax.random.key(42)
+    G_crn, terms_crn, _ = efe.calculate_G_4_repeated_crn(
+        agent, params, key, o, steps=2, calc_mean=True, samples=1
+    )
+    assert G_crn.shape == (B, 4)
+    for a in range(4):
+        pi = jnp.tile(agent.pi_one_hot[a], (B, 1))
+        G_a, terms_a, _ = efe.calculate_G_repeated(
+            agent, params, key, o, pi, steps=2, calc_mean=True, samples=1
+        )
+        np.testing.assert_allclose(
+            np.asarray(G_crn[:, a]), np.asarray(G_a), rtol=3e-5, atol=3e-5
+        )
+        for t_crn, t in zip(terms_crn, terms_a):
+            np.testing.assert_allclose(
+                np.asarray(t_crn[:, a]), np.asarray(t), rtol=3e-5, atol=3e-5
+            )
+
+
+def test_crn_variance_reduction_of_action_differences(agent, params):
+    """The point of CRN: across keys, the *difference* G(a0)-G(a1) has far
+    lower variance than under the independent-noise tiled estimator, while
+    the per-action marginal estimator is unchanged (same expectation)."""
+    B = 4
+    o = jax.random.uniform(jax.random.key(43), (B, 64, 64, 1))
+
+    def diffs(crn, k):
+        if crn:
+            G, _, _ = efe.calculate_G_4_repeated_crn(
+                agent, params, k, o, steps=1, calc_mean=True, samples=1
+            )
+        else:
+            G, _, _ = efe.calculate_G_4_repeated(
+                agent, params, k, o, steps=1, calc_mean=True, samples=1
+            )
+        return G[:, 0] - G[:, 1]
+
+    keys = [jax.random.key(100 + i) for i in range(12)]
+    d_ind = np.stack([np.asarray(diffs(False, k)) for k in keys])
+    d_crn = np.stack([np.asarray(diffs(True, k)) for k in keys])
+    # CRN cancels the common noise component. On *untrained* nets the
+    # reduction is modest (~1.7x: a fixed dropout mask over random weights
+    # is still nearly a random function of the action input); on trained
+    # nets the transition is smooth in pi and the shared-mask correlation
+    # is much higher. Assert the untrained-level reduction holds.
+    assert d_crn.std(0).mean() < 0.75 * d_ind.std(0).mean(), (
+        d_crn.std(0).mean(), d_ind.std(0).mean())
