@@ -47,11 +47,27 @@ class Config:
     # action prior becomes signal-driven instead of argmax-of-MC-noise.
     # TPU-native enhancement (explicit-key RNG); 0 = reference semantics.
     crn: bool = False
+    # Use the deterministic mean estimator (calculate_G_mean) in the
+    # on-policy generator instead of the reference's sampled calculate_G
+    # (torchmodel.py:227-245). Measured (epoch-797 checkpoint): the sampled
+    # estimator's per-class scoring-edge signal is +-0 nats (reparam-
+    # sampled decodes wash out the reward strip) while the mean estimator
+    # carries +-17 nats; the softmax prior only teaches the habit net
+    # shape->side behavior with this on. 0 = reference semantics.
+    gen_mean: bool = False
     # Exploration floor when sampling the executed action: sample from
     # (1-eps)*Ppi + eps/pi_dim while the top-loss target stays the pure
     # prior. Guards the transition model's action coverage when the CRN
     # prior is sharp. 0 = reference semantics (sample the prior directly).
     explore_eps: float = 0.0
+    # Edge curriculum: fraction of generator envs re-pinned to the scoring
+    # edge (posY in {28..31}) after randomization, so reward transitions
+    # stop being a ~6% rarity in the mid/down training batches. Measured
+    # (epoch-797 probe): the VAE decodes reward with corr 1.0 but the
+    # transition imagines edge pushes at ~20% magnitude, shape-blind —
+    # classic rare-event underfitting. 0 = reference semantics
+    # (uniform posY, game_environment.py:70).
+    edge_frac: float = 0.0
 
     # VAE encoder/decoder dropout during the training losses (0/1). The torch
     # port trains with it unconditionally live (modules never .eval(),

@@ -31,6 +31,23 @@ from deep_active_inference_mc_tpu.infer.agent import ActiveInferenceAgent, Param
 from deep_active_inference_mc_tpu.ops import math as m
 
 
+def pin_edge_fraction(
+    key: jax.Array, env: env_lib.EnvState, frac: float
+) -> env_lib.EnvState:
+    """Edge curriculum (cfg.edge_frac): re-pin ``frac`` of the freshly
+    randomized envs to posY in {28..31}, where an 'up' macro-step (5
+    repeats) crosses the scoring edge — boosting the scoring-transition
+    fraction the mid/down losses see from ~6% rarity to ~frac*P(up)."""
+    k_sel, k_posy = jax.random.split(jax.random.fold_in(key, 1))
+    pinned = jax.random.uniform(k_sel, (env.batch,)) < frac
+    posy = jax.random.randint(k_posy, (env.batch,), 28, 32)
+    return env.replace(
+        latents=env.latents.at[:, 5].set(
+            jnp.where(pinned, posy, env.latents[:, 5])
+        )
+    )
+
+
 def make_batch_active_inference(
     agent: ActiveInferenceAgent,
     cfg: Config,
@@ -44,6 +61,8 @@ def make_batch_active_inference(
     Returns (env', o0, o1, pi0 one-hot, log_Ppi)."""
     k_rand, k_G, k_act, k_step = jax.random.split(key, 4)
     env = env_lib.randomize(k_rand, env)
+    if cfg.edge_frac > 0.0:
+        env = pin_edge_fraction(k_rand, env, cfg.edge_frac)
     o0 = env_lib.render_obs(lut, env, cfg.resolution, cfg.colour_channels)
 
     # EFE of all actions: the reference tiles o0 4x against the one-hot
@@ -56,6 +75,7 @@ def make_batch_active_inference(
         G_ba, _, _ = efe.calculate_G_4_repeated_crn(
             agent, params, k_G, o0,
             steps=cfg.deepness, calc_mean=True, samples=cfg.samples,
+            mean_estimator=cfg.gen_mean,
         )
         sum_G = G_ba.reshape(-1)
     else:
@@ -64,6 +84,7 @@ def make_batch_active_inference(
         sum_G, _, _ = efe.calculate_G_repeated(
             agent, params, k_G, o0_rep, pi_rep,
             steps=cfg.deepness, calc_mean=True, samples=cfg.samples,
+            mean_estimator=cfg.gen_mean,
         )
     Ppi, log_Ppi = m.softmax_multi_with_log(
         -sum_G, agent.pi_dim, temperature=cfg.temperature

@@ -161,20 +161,34 @@ def calculate_G_repeated(
     steps: int = 1,
     calc_mean: bool = False,
     samples: int = 10,
+    mean_estimator: bool = False,
 ):
     """Roll G forward ``steps`` imagination steps under a fixed action,
     accumulating terms (torchmodel.py:227-245). ``calc_mean`` feeds the
-    transition mean (vs sample) forward; the per-step estimator is always
-    the sampled ``calculate_G`` — matching the reference exactly."""
+    transition mean (vs sample) forward; the per-step estimator is the
+    sampled ``calculate_G`` — matching the reference exactly — unless
+    ``mean_estimator`` selects the deterministic ``calculate_G_mean``
+    (the estimator the demo's --mean eval agents use,
+    torchmodel.py:302-327). Measured on the epoch-797 checkpoint: the
+    sampled estimator's per-class edge signal is +1.4±2.0 nats (the
+    reparam-sampled decode washes the reward strip out) vs +17.6±1.0 for
+    the mean estimator — ``mean_estimator=True`` is what makes the
+    generator's softmax(-G) prior carry the task signal."""
     k_enc, k_scan = jax.random.split(key)
     qs0, qs0_mean, _ = agent.encode_with_sample(params, k_enc, o)
     s0 = qs0_mean if calc_mean else qs0
 
     def step_fn(carry, k):
         s0_t = carry
-        G, terms, s1, ps1_mean, po1 = calculate_G(
-            agent, params, k, s0_t, pi, samples=samples
-        )
+        if mean_estimator:
+            G, terms, ps1_mean, po1 = calculate_G_mean(
+                agent, params, k, s0_t, pi
+            )
+            s1 = ps1_mean
+        else:
+            G, terms, s1, ps1_mean, po1 = calculate_G(
+                agent, params, k, s0_t, pi, samples=samples
+            )
         s_next = ps1_mean if calc_mean else s1
         return s_next, (G, terms[0], terms[1], terms[2], po1)
 
@@ -246,6 +260,7 @@ def calculate_G_4_repeated_crn(
     steps: int = 1,
     calc_mean: bool = False,
     samples: int = 10,
+    mean_estimator: bool = False,
 ):
     """All-actions G with **common random numbers** across the action axis.
 
@@ -269,6 +284,7 @@ def calculate_G_4_repeated_crn(
         sum_G, sum_terms, po1 = calculate_G_repeated(
             agent, params, key, o, pi,
             steps=steps, calc_mean=calc_mean, samples=samples,
+            mean_estimator=mean_estimator,
         )
         return sum_G, sum_terms[0], sum_terms[1], sum_terms[2], po1
 

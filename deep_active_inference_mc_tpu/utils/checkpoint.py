@@ -172,7 +172,38 @@ def load_all(
             "state": _to_host(state_template),
             "rng_key": np.zeros((2,), np.uint32),
         }
-        payload = ckptr.restore(_resolve_state_dir(folder_chp), template)
+        state_dir = _resolve_state_dir(folder_chp)
+        try:
+            payload = ckptr.restore(state_dir, template)
+        except Exception:
+            # Weight-only archive (``archive`` drops opt_states, mirroring
+            # the reference's optimizers.pkl removal, train.py:130-133):
+            # restore untyped and graft what exists onto the template, so
+            # sweeps/probes/demos can evaluate archived epochs directly.
+            raw = ckptr.restore(state_dir)
+            jtu = jax.tree_util
+
+            def _lookup(d, path):
+                for p in path:
+                    k = getattr(p, "name", None)
+                    if k is None:
+                        k = getattr(p, "key", None)
+                    if k is None:
+                        k = str(getattr(p, "idx", ""))
+                    if isinstance(d, dict) and k in d:
+                        d = d[k]
+                    elif isinstance(d, dict) and str(k) in d:
+                        d = d[str(k)]
+                    else:
+                        return None
+                return d
+
+            lp, treedef = jtu.tree_flatten_with_path(template)
+            payload = jtu.tree_unflatten(
+                treedef,
+                [_lookup(raw, path) if _lookup(raw, path) is not None
+                 else leaf for path, leaf in lp],
+            )
     with open(folder_chp / "stats.pkl", "rb") as f:
         stats = pickle.load(f)
     state = jax.tree.map(

@@ -234,3 +234,23 @@ def test_jit_vmap_composability(lut):
     final, scored = many(jax.random.key(5), state)
     assert final.latents.shape == (64, 6)
     assert scored.shape == (50, 64)
+
+
+def test_pin_edge_fraction():
+    from deep_active_inference_mc_tpu.envs import data as data_lib
+
+    key = jax.random.key(7)
+    state = env.randomize(key, env.reset(key, 512))
+    pinned_all = data_lib.pin_edge_fraction(jax.random.key(8), state, 1.0)
+    posy = np.asarray(pinned_all.latents[:, 5])
+    assert posy.min() >= 28 and posy.max() <= 31
+    # Only posY is touched.
+    np.testing.assert_array_equal(
+        np.asarray(pinned_all.latents[:, :5]), np.asarray(state.latents[:, :5])
+    )
+    # frac=0.5 pins about half, leaves the rest untouched.
+    pinned_half = data_lib.pin_edge_fraction(jax.random.key(9), state, 0.5)
+    moved = np.asarray(pinned_half.latents[:, 5]) != np.asarray(state.latents[:, 5])
+    at_edge = np.asarray(pinned_half.latents[:, 5]) >= 28
+    assert 0.3 < at_edge.mean() < 0.75
+    assert np.all(at_edge | ~moved)
