@@ -54,17 +54,28 @@ def main(argv=None):
                         "--samples 10).")
     parser.add_argument("--mcts_repeats", type=int, default=50)
     parser.add_argument("--mcts_depth", type=int, default=3)
+    parser.add_argument("--mcts_crn", action="store_true",
+                        help="Common random numbers across actions in node "
+                        "expansions (unfused evaluator only).")
     parser.add_argument("--mcts_fused", action="store_true",
                         help="Mega-batched expand+simulate evaluator "
                         "(same estimators, ~1 dispatch per network per "
                         "iteration; plan/mcts.py:_fused_expand_sim).")
     parser.add_argument("--mesh", action="store_true",
                         help="Shard envs over all devices.")
+    parser.add_argument("--bf16", action="store_true",
+                        help="bfloat16 model forwards (G scoring stays "
+                        "f32); the planner's fused+bf16 fast path.")
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args(argv)
 
+    import jax.numpy as jnp
+
     cfg = Config()
-    agent = ActiveInferenceAgent(s_dim=cfg.s_dim, pi_dim=cfg.pi_dim)
+    agent = ActiveInferenceAgent(
+        s_dim=cfg.s_dim, pi_dim=cfg.pi_dim,
+        dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+    )
     lut = raster.build_sprite_lut()
     if args.network:
         state = train_loop.create_train_state(cfg, agent, jax.random.key(0))
@@ -91,7 +102,7 @@ def main(argv=None):
         calc_mean=not args.sample_G, crn=args.crn,
         mcts_params=MCTSParams(
             repeats=args.mcts_repeats, simulation_depth=args.mcts_depth,
-            max_depth=16, fused_eval=args.mcts_fused,
+            max_depth=16, fused_eval=args.mcts_fused, crn=args.mcts_crn,
         ),
     )
     out = jax.device_get(out)

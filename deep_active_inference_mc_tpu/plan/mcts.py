@@ -77,6 +77,12 @@ class MCTSParams:
     # each other's G results — standard virtual-loss semantics) that cuts
     # the sequential critical path k-fold.
     expand_k: int = 1
+    # Common random numbers across the 4 actions in each expansion's G
+    # evaluation (efe.calculate_G_4_repeated_crn rationale): node values
+    # rank sibling actions by signal instead of independent dropout draws.
+    # Unfused path only (the fused evaluator concatenates expand+simulate
+    # rows into single dispatches with per-row noise).
+    crn: bool = False
 
 
 class MCTSResult(NamedTuple):
@@ -134,6 +140,23 @@ def _expand_G(
     states (mcts.py:64-86)."""
     B = s.shape[0]
     A = agent.pi_dim
+    if p.crn:
+        # Shared noise per action lane (MCTSParams.crn): vmap with the key
+        # closed over, exactly like efe.calculate_G_4_repeated_crn.
+        def one_action(pi_row):
+            pi = jnp.broadcast_to(pi_row, (B, A))
+            if p.use_means:
+                G, _, ps_next, _ = efe.calculate_G_mean(
+                    agent, params, key, s, pi
+                )
+            else:
+                G, _, ps_next, _, _ = efe.calculate_G(
+                    agent, params, key, s, pi, samples=p.samples
+                )
+            return G, ps_next
+
+        G_a, ps_a = jax.vmap(one_action)(agent.pi_one_hot)
+        return G_a.T, jnp.swapaxes(ps_a, 0, 1)
     s_r = jnp.repeat(s, A, axis=0)
     pi_r = jnp.tile(agent.pi_one_hot, (B, 1))
     if p.use_means:
@@ -419,6 +442,11 @@ def active_inference_mcts(
     """
     B = frames.shape[0]
     A = agent.pi_dim
+    if p.crn and p.fused_eval:
+        raise ValueError(
+            "MCTSParams.crn requires the unfused evaluator "
+            "(fused_eval concatenates rows with per-row noise)"
+        )
     # ceil(repeats / expand_k) sequential iterations of expand_k expansions
     # each preserve the total expansion budget.
     n_iters = -(-p.repeats // p.expand_k)

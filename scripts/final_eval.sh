@@ -2,18 +2,26 @@
 # End-of-round evaluation: behavioral sweeps with the trained checkpoint,
 # benchmark numbers. Run with the TPU free.
 #
+# Round-3 power upgrade: enough envs that habit/ai-vs-random separation at
+# effect sizes ~0.05-0.15 resolves at >=3 sigma (sem ~ 1/sqrt(envs)), and
+# the MCTS sweep runs at the REFERENCE budget (repeats=300, mcts.py:141)
+# with the fused+bf16 evaluator. All sweeps share --seed 0 so initial env
+# states are paired across methods.
+#
 # Each sweep runs in a fresh process; the axon tunnel occasionally wedges a
 # new process at connect time (futex wait, no output) — especially right
 # after a worker crash/restart. Each command therefore gets 2 attempts with
 # a bounded timeout; an attempt that produced no output line is retried.
 CKPT=${1:-runs/figs_final_model_0.01_30_1.0_512_10_5/checkpoints}
-ENVS=${ENVS:-1024}
+ENVS=${ENVS:-4096}
 MACRO=${MACRO:-200}
+MCTS_ENVS=${MCTS_ENVS:-256}
+MCTS_REPEATS=${MCTS_REPEATS:-300}
 
 run_with_retry() {
-  local desc="$1"; shift
+  local desc="$1"; local tmo="$2"; shift 2
   for attempt in 1 2; do
-    OUT=$(timeout 540 "$@" 2>&1 | grep -v WARNING | tail -1)
+    OUT=$(timeout "$tmo" "$@" 2>&1 | grep -v WARNING | tail -1)
     if [ -n "$OUT" ]; then
       echo "$OUT"
       return 0
@@ -24,14 +32,21 @@ run_with_retry() {
   return 1
 }
 
-for METHOD in random expert habit ai mcts; do
+for METHOD in random expert habit ai ai_crn mcts; do
   EXTRA=""
   N=$ENVS
-  if [ "$METHOD" = "ai" ]; then EXTRA="--steps 2"; fi
-  if [ "$METHOD" = "mcts" ]; then EXTRA="--mcts_repeats 30"; N=256; fi
-  run_with_retry "sweep:$METHOD" \
+  M=$METHOD
+  TMO=540
+  case $METHOD in
+    ai)     EXTRA="--steps 2" ;;
+    ai_crn) M=ai; EXTRA="--steps 2 --crn" ;;
+    mcts)   EXTRA="--mcts_repeats $MCTS_REPEATS --mcts_fused --bf16"
+            N=$MCTS_ENVS; TMO=1800 ;;
+  esac
+  echo "# sweep method=$METHOD"
+  run_with_retry "sweep:$METHOD" $TMO \
     python -m deep_active_inference_mc_tpu.apps.sweep \
-    -n "$CKPT" --method $METHOD --envs $N --macro $MACRO --jumps 5 $EXTRA
+    -n "$CKPT" --method $M --envs $N --macro $MACRO --jumps 5 --seed 0 $EXTRA
 done
 
-run_with_retry "bench" python bench.py
+run_with_retry "bench" 1200 python bench.py

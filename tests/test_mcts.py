@@ -449,3 +449,41 @@ def test_expand_k_real_agent_fused():
     assert res.actions.shape == (2, 8)
     assert np.all(np.asarray(res.root_N).sum(-1) >= 4)
     assert np.all(np.isfinite(np.asarray(res.all_paths_G))) if res.all_paths_G is not None else True
+
+
+def test_crn_expand_planner_end_to_end():
+    """CRN expansion (MCTSParams.crn): runs under jit with the real nets;
+    per-column parity with the single-action estimator; fused+crn rejected."""
+    from deep_active_inference_mc_tpu.infer import efe
+    from deep_active_inference_mc_tpu.infer.agent import ActiveInferenceAgent
+
+    agent = ActiveInferenceAgent(s_dim=10, pi_dim=4)
+    params = agent.init(jax.random.key(0))
+
+    # Column parity: _expand_G with crn equals calculate_G_mean per action
+    # under the shared key.
+    s = jax.random.normal(jax.random.key(3), (3, 10))
+    key = jax.random.key(4)
+    p_crn = MCTSParams(repeats=4, simulation_depth=2, max_depth=8, crn=True)
+    G_crn, ps_crn = amcts._expand_G(agent, params, key, s, p_crn)
+    for a in range(4):
+        pi = jnp.tile(jnp.eye(4)[a], (3, 1))
+        G_a, _, ps_a, _ = efe.calculate_G_mean(agent, params, key, s, pi)
+        np.testing.assert_allclose(
+            np.asarray(G_crn[:, a]), np.asarray(G_a), rtol=3e-5, atol=3e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(ps_crn[:, a]), np.asarray(ps_a), rtol=3e-5, atol=3e-5
+        )
+
+    frames = jax.random.uniform(jax.random.key(1), (2, 64, 64, 1))
+    planner = amcts.make_jit_planner(agent, p_crn)
+    res = planner(params, jax.random.key(2), frames)
+    assert res.actions.shape == (2, 8)
+    assert np.all(np.asarray(res.root_N).sum(-1) >= 4)
+
+    with pytest.raises(ValueError, match="unfused"):
+        amcts.active_inference_mcts(
+            agent, params, jax.random.key(5), frames,
+            MCTSParams(repeats=4, crn=True, fused_eval=True),
+        )
