@@ -209,8 +209,16 @@ def behavior_plot(stats, filename):
     if len(gap):
         ax2 = ax.twinx()
         ax2.plot(offx(gap), gap, color="tab:red", lw=0.8, alpha=0.7)
+        # Per-class correct-side G gaps: the shape->side discrimination
+        # series (both must go positive for true sorting).
+        for key, c in (("edge_g_sq_gap_nats", "tab:orange"),
+                       ("edge_g_oth_gap_nats", "tab:purple")):
+            g = np.asarray(stats.get(key, []))
+            if len(g):
+                ax2.plot(offx(g), g, color=c, lw=0.6, alpha=0.5)
         ax2.axhline(0.0, color="tab:red", lw=0.4, alpha=0.4)
-        ax2.set_ylabel("G gap (nats, red)", color="tab:red", fontsize=8)
+        ax2.set_ylabel("G gap (nats; red=all, orange=sq, purple=oth)",
+                       color="tab:red", fontsize=8)
     ax.legend(fontsize=7)
     ax.grid(True)
 
