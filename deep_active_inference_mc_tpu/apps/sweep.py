@@ -66,6 +66,10 @@ def main(argv=None):
     parser.add_argument("--bf16", action="store_true",
                         help="bfloat16 model forwards (G scoring stays "
                         "f32); the planner's fused+bf16 fast path.")
+    parser.add_argument("--chunk", type=int, default=50,
+                        help="Macro-steps per device dispatch. Multi-minute "
+                        "dispatches crash the axon tunnel worker; drop to "
+                        "~8 for reference-budget MCTS (300 repeats).")
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args(argv)
 
@@ -97,7 +101,8 @@ def main(argv=None):
     out = sweep_lib.run_sweep(
         agent, cfg, params, lut, jax.random.key(args.seed),
         n_envs=args.envs, mesh=mesh, method=args.method,
-        n_macro_steps=args.macro, steps=args.steps, samples=args.samples,
+        n_macro_steps=args.macro, chunk=args.chunk,
+        steps=args.steps, samples=args.samples,
         jumps=args.jumps, temperature=args.temp,
         calc_mean=not args.sample_G, crn=args.crn,
         mcts_params=MCTSParams(

@@ -40,7 +40,7 @@ for METHOD in random expert habit ai ai_crn mcts; do
   case $METHOD in
     ai)     EXTRA="--steps 2" ;;
     ai_crn) M=ai; EXTRA="--steps 2 --crn" ;;
-    mcts)   EXTRA="--mcts_repeats $MCTS_REPEATS --mcts_fused --bf16"
+    mcts)   EXTRA="--mcts_repeats $MCTS_REPEATS --mcts_fused --bf16 --chunk 8"
             N=$MCTS_ENVS; TMO=1800 ;;
   esac
   echo "# sweep method=$METHOD"
