@@ -527,7 +527,17 @@ def main(argv=None):
                         help="Mega-batched MCTS expand+simulate evaluator "
                         "(fewer dispatches per planner iteration).")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--platform", type=str, default="default",
+                        choices=["default", "cpu"],
+                        help="'cpu' forces the JAX CPU backend (single-env "
+                        "demo runs fine without a TPU; this environment's "
+                        "sitecustomize pre-registers the TPU platform, so "
+                        "the switch must go through jax.config, which wins "
+                        "over the env var — see tests/conftest.py).")
     args = parser.parse_args(argv)
+
+    if args.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
 
     cfg = Config()
     agent = ActiveInferenceAgent(s_dim=cfg.s_dim, pi_dim=cfg.pi_dim)
