@@ -59,11 +59,20 @@ def _controller_actions(
         return jnp.where(res.lengths > 0, first, root_best)
 
     k_G, k_act = jax.random.split(key)
-    g4 = efe.calculate_G_4_repeated_crn if crn else efe.calculate_G_4_repeated
-    G, terms, _ = g4(
-        agent, params, k_G, o, steps=steps, calc_mean=calc_mean,
-        samples=samples,
-    )
+    if crn:
+        # mean_estimator=calc_mean keeps the estimator identical to the
+        # non-CRN path (calculate_G_4_repeated with calc_mean uses the
+        # deterministic calculate_G_mean per step) so --crn ablates ONLY
+        # the noise coupling across action lanes, not the estimator.
+        G, terms, _ = efe.calculate_G_4_repeated_crn(
+            agent, params, k_G, o, steps=steps, calc_mean=calc_mean,
+            samples=samples, mean_estimator=calc_mean,
+        )
+    else:
+        G, terms, _ = efe.calculate_G_4_repeated(
+            agent, params, k_G, o, steps=steps, calc_mean=calc_mean,
+            samples=samples,
+        )
     t0 = -terms[0]
     t1 = terms[1]
     score = {

@@ -199,11 +199,32 @@ def load_all(
                 return d
 
             lp, treedef = jtu.tree_flatten_with_path(template)
-            payload = jtu.tree_unflatten(
-                treedef,
-                [_lookup(raw, path) if _lookup(raw, path) is not None
-                 else leaf for path, leaf in lp],
-            )
+            leaves = []
+            missing = []
+            for path, leaf in lp:
+                found = _lookup(raw, path)
+                if found is None:
+                    # Only optimizer/rng leaves may legitimately be absent
+                    # (weight-only archives). A params leaf falling back to
+                    # its template value would silently evaluate a
+                    # random-init model — refuse instead.
+                    if any(
+                        getattr(p, "name", getattr(p, "key", None))
+                        == "params"
+                        for p in path
+                    ):
+                        missing.append(jtu.keystr(path))
+                    leaves.append(leaf)
+                else:
+                    leaves.append(found)
+            if missing:
+                raise ValueError(
+                    f"checkpoint at {state_dir} is not a weight-only "
+                    f"archive: params leaves missing from the raw "
+                    f"restore: {missing[:5]} (+{max(0, len(missing)-5)} "
+                    f"more)"
+                )
+            payload = jtu.tree_unflatten(treedef, leaves)
     with open(folder_chp / "stats.pkl", "rb") as f:
         stats = pickle.load(f)
     state = jax.tree.map(

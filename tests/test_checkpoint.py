@@ -74,6 +74,48 @@ def test_archive_drops_optimizer(tmp_path, cfg, agent):
     assert "opt_states" in payload["state"]
 
 
+def test_load_all_from_weight_only_archive(tmp_path, cfg, agent):
+    """load_all on an immutable archive (no opt_states) grafts the saved
+    weights onto the template and leaves the optimizer at template values —
+    sweeps/probes evaluate archived epochs directly."""
+    state = train_loop.create_train_state(cfg, agent, jax.random.key(0))
+    folder = tmp_path / "checkpoints"
+    ckpt.save_all(folder, state, stats_lib.new_stats(), jax.random.key(1))
+    ckpt.archive(folder, epoch=25)
+    arch = tmp_path / "checkpoints_epoch_25"
+
+    template = train_loop.create_train_state(cfg, agent, jax.random.key(7))
+    restored, _, _ = ckpt.load_all(arch, template)
+    # Params come from the archive, NOT the (differently-seeded) template.
+    got = [np.asarray(x) for x in jax.tree.leaves(restored.params)]
+    saved = [np.asarray(x) for x in jax.tree.leaves(state.params)]
+    tpl = [np.asarray(x) for x in jax.tree.leaves(template.params)]
+    for g, s in zip(got, saved):
+        np.testing.assert_allclose(g, s)
+    # Some leaves (zero-init biases) match under any seed; the weight
+    # matrices must NOT have fallen back to template values.
+    assert any(not np.allclose(g, t) for g, t in zip(got, tpl))
+
+
+def test_load_all_refuses_missing_params(tmp_path, cfg, agent):
+    """The weight-only fallback must NOT paper over missing *params* leaves
+    with template (random-init) values: a template whose params tree has a
+    key the archive lacks raises instead of silently evaluating an
+    untrained subtree."""
+    state = train_loop.create_train_state(cfg, agent, jax.random.key(0))
+    folder = tmp_path / "checkpoints"
+    ckpt.save_all(folder, state, stats_lib.new_stats(), jax.random.key(1))
+    ckpt.archive(folder, epoch=25)
+    arch = tmp_path / "checkpoints_epoch_25"
+
+    template = train_loop.create_train_state(cfg, agent, jax.random.key(7))
+    template.params["phantom_layer"] = {
+        "w": np.zeros((2, 2), np.float32)
+    }
+    with pytest.raises(Exception, match="params|phantom"):
+        ckpt.load_all(arch, template)
+
+
 def test_pad_missing_stats():
     stats = {"F": [1.0, 2.0], "mse_o": [3.0]}
     stats = stats_lib.pad_missing(stats)

@@ -309,8 +309,14 @@ def test_crn_variance_reduction_of_action_differences(agent, params):
 
     def diffs(crn, k):
         if crn:
+            # mean_estimator=True so BOTH arms use the deterministic
+            # calculate_G_mean estimator (calc_mean=True selects it in
+            # calculate_G_4_repeated) — the arms then differ ONLY in
+            # whether the term-2 dropout/sample noise is shared across
+            # the action lanes, which is the effect under test.
             G, _, _ = efe.calculate_G_4_repeated_crn(
-                agent, params, k, o, steps=1, calc_mean=True, samples=1
+                agent, params, k, o, steps=1, calc_mean=True, samples=1,
+                mean_estimator=True,
             )
         else:
             G, _, _ = efe.calculate_G_4_repeated(
