@@ -124,6 +124,39 @@ def bench_mcts_plans(agent, params, lut, repeats=50, fused=False, reps=3,
     return B * reps / dt, capped / max(done, 1.0), done / (B * reps)
 
 
+def bench_mcts_bucketed(agent, params, lut, repeats=300, reps=3,
+                        check_every=16, min_bucket=32):
+    """Reference-budget MCTS on the host-driven batch-compaction planner
+    (plan/mcts.py:make_bucketed_planner): decided envs retire at iteration
+    checkpoints and the stragglers re-pack into smaller buckets, so
+    iteration cost tracks the ACTIVE env count instead of the full batch.
+    Matters with a trained habit prior, where most envs phase-B-exit long
+    before the budget but the batched while_loop otherwise waits for the
+    slowest straggler."""
+    from deep_active_inference_mc_tpu.plan import mcts as mcts_lib
+
+    B = 256
+    state = env_lib.reset(jax.random.key(0), B)
+    o = env_lib.render(lut, state)
+    p = mcts_lib.MCTSParams(
+        repeats=repeats, simulation_depth=3, max_depth=16, fused_eval=True
+    )
+    planner = mcts_lib.make_bucketed_planner(
+        agent, p, check_every=check_every, min_bucket=min_bucket
+    )
+    # Two warmups: compaction points differ per key, so the second pass
+    # catches ladder sizes the first one missed (compiles are cached).
+    for k in (1, 101):
+        res = planner(params, jax.random.key(k), o)
+    jax.device_get(res.actions[0, 0])
+    t0 = time.perf_counter()
+    for i in range(reps):
+        res = planner(params, jax.random.key(2 + i), o)
+    jax.device_get(res.actions[0, 0])
+    dt = time.perf_counter() - t0
+    return B * reps / dt
+
+
 def bench_train_round(lut, batch=512, bf16=False, rounds=16, reps=3):
     """The fused act->plan->step->train round (data gen + 3 staged Adam
     updates) — env steps/sec INSIDE training, at a given batch/precision."""
@@ -215,10 +248,13 @@ def main():
     # Deployed planning rate: the same reference-budget search with the
     # TRAINED habit prior, where the phase-A/B early exits actually fire.
     trained = _try_load_trained_params(agent)
-    mcts_trained = avg_reps_trained = None
+    mcts_trained = avg_reps_trained = mcts_trained_bucketed = None
     if trained is not None:
         mcts_trained, _, avg_reps_trained = bench_mcts_plans(
             agent_bf16, trained, lut, repeats=300, fused=True, reps=3
+        )
+        mcts_trained_bucketed = bench_mcts_bucketed(
+            agent_bf16, trained, lut, repeats=300, reps=3
         )
     train_sps = bench_train_round(lut, batch=512)
     train_bf16 = bench_train_round(lut, batch=512, bf16=True)
@@ -234,7 +270,8 @@ def main():
         f"{mcts_ref_k4:.3e} (cap binds {cap_frac_k4:.1%})"
         + (
             f" | trained-prior {mcts_trained:.3e} "
-            f"(avg {avg_reps_trained:.0f}/300 expansions)"
+            f"(avg {avg_reps_trained:.0f}/300 expansions) | +bucketed "
+            f"{mcts_trained_bucketed:.3e}"
             if mcts_trained is not None
             else ""
         )
@@ -261,6 +298,8 @@ def main():
                 "mcts_depth_cap_bind_frac_k4": cap_frac_k4,
                 "mcts_plans_per_sec_ref_budget_trained": mcts_trained,
                 "mcts_trained_avg_expansions": avg_reps_trained,
+                "mcts_plans_per_sec_ref_budget_trained_bucketed":
+                    mcts_trained_bucketed,
                 "train_env_steps_per_sec": train_sps,
                 "train_env_steps_per_sec_bf16": train_bf16,
                 "train_env_steps_per_sec_b2048_bf16": train_2048,

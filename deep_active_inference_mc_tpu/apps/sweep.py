@@ -61,6 +61,16 @@ def main(argv=None):
                         help="Mega-batched expand+simulate evaluator "
                         "(same estimators, ~1 dispatch per network per "
                         "iteration; plan/mcts.py:_fused_expand_sim).")
+    parser.add_argument("--mcts_bucketed", action="store_true",
+                        help="Host-driven batch-compaction planner: decided "
+                        "envs retire at iteration checkpoints, stragglers "
+                        "re-pack into smaller buckets "
+                        "(plan/mcts.py:make_bucketed_planner). mcts only.")
+    parser.add_argument("--mcts_check_every", type=int, default=16,
+                        help="Bucketed planner: iterations between "
+                        "retire/compaction checks.")
+    parser.add_argument("--mcts_min_bucket", type=int, default=32,
+                        help="Bucketed planner: smallest compaction bucket.")
     parser.add_argument("--mesh", action="store_true",
                         help="Shard envs over all devices.")
     parser.add_argument("--bf16", action="store_true",
@@ -97,19 +107,31 @@ def main(argv=None):
         mesh = mesh_lib.make_mesh()
         print(f"Mesh over {len(mesh.devices.flat)} devices")
 
-    t0 = time.time()
-    out = sweep_lib.run_sweep(
-        agent, cfg, params, lut, jax.random.key(args.seed),
-        n_envs=args.envs, mesh=mesh, method=args.method,
-        n_macro_steps=args.macro, chunk=args.chunk,
-        steps=args.steps, samples=args.samples,
-        jumps=args.jumps, temperature=args.temp,
-        calc_mean=not args.sample_G, crn=args.crn,
-        mcts_params=MCTSParams(
-            repeats=args.mcts_repeats, simulation_depth=args.mcts_depth,
-            max_depth=16, fused_eval=args.mcts_fused, crn=args.mcts_crn,
-        ),
+    mcts_params = MCTSParams(
+        repeats=args.mcts_repeats, simulation_depth=args.mcts_depth,
+        max_depth=16, fused_eval=args.mcts_fused, crn=args.mcts_crn,
     )
+    t0 = time.time()
+    if args.mcts_bucketed:
+        if args.method != "mcts":
+            raise SystemExit("--mcts_bucketed requires --method mcts")
+        out = sweep_lib.run_sweep_bucketed(
+            agent, cfg, params, lut, jax.random.key(args.seed),
+            n_envs=args.envs, n_macro_steps=args.macro, jumps=args.jumps,
+            mcts_params=mcts_params, check_every=args.mcts_check_every,
+            min_bucket=args.mcts_min_bucket,
+        )
+        out.pop("bucket_traces", None)
+    else:
+        out = sweep_lib.run_sweep(
+            agent, cfg, params, lut, jax.random.key(args.seed),
+            n_envs=args.envs, mesh=mesh, method=args.method,
+            n_macro_steps=args.macro, chunk=args.chunk,
+            steps=args.steps, samples=args.samples,
+            jumps=args.jumps, temperature=args.temp,
+            calc_mean=not args.sample_G, crn=args.crn,
+            mcts_params=mcts_params,
+        )
     out = jax.device_get(out)
     dt = time.time() - t0
     frames = args.envs * args.macro * args.jumps

@@ -423,23 +423,61 @@ def _action_selection(
     return _trim_path(acts, lens, pi_dim, max_depth)
 
 
-def active_inference_mcts(
+
+@struct.dataclass
+class SearchCarry:
+    """Resumable search state — everything live between planner iterations.
+
+    Factoring the search into ``_init_search`` → ``_run_search``(×k) →
+    ``_finalize_search`` lets a host-side driver pause the search at
+    iteration boundaries, retire decided environments, and re-pack the
+    stragglers into a smaller batch (``make_bucketed_planner``): the
+    batched while_loop otherwise runs until the *slowest* env decides, and
+    every decided env keeps paying full (masked) G-network compute while it
+    rides along. Every field has leading batch dim B except ``i`` and the
+    two keys, which are shared across the batch (compaction copies them, so
+    a continued search replays the same fold_in(k_loop, i) key sequence).
+    """
+
+    i: jax.Array  # () int32 — sequential iterations completed
+    tree: _Tree
+    done: jax.Array  # (B,) decision frozen (phase A/B, or budget)
+    habit_done: jax.Array  # (B,) phase-A short-circuit fired
+    habit_action: jax.Array  # (B,) phase-A habit action
+    root_Qpi: jax.Array  # (B, A) habit prior at the root
+    k_loop: jax.Array  # iteration key stream (fold_in by iteration index)
+    k_final: jax.Array  # final action-selection key
+
+
+def _budget(p: MCTSParams, A: int) -> Tuple[int, int, int]:
+    """(sequential iterations, total expansions, node-slot budget).
+
+    ceil(repeats / expand_k) iterations of expand_k expansions each
+    preserve the reference's total expansion budget (mcts.py:141,174)."""
+    n_iters = -(-p.repeats // p.expand_k)
+    n_expansions = n_iters * p.expand_k
+    N_max = A * (n_expansions + 1) + 2  # root + children per expansion + pad
+    return n_iters, n_expansions, N_max
+
+
+def _phase_b_done(tree: _Tree, p: MCTSParams) -> jax.Array:
+    """Phase B check (mcts.py:176-181): normalized root visits confident."""
+    N_root = tree.N[:, 0]
+    N_norm = N_root / jnp.maximum(N_root.sum(-1, keepdims=True), 1e-12)
+    return tree.done | (_calc_threshold(N_norm) > p.threshold)
+
+
+def _init_search(
     agent: ActiveInferenceAgent,
     params: Params,
     key: jax.Array,
     frames: jax.Array,
     p: MCTSParams,
-    collect_paths: bool = False,
-    return_tree: bool = False,
-) -> MCTSResult:
-    """Batched planner entry point (mcts.py:150-195).
-
-    Args:
-      frames: (B, H, W, C) current observations.
-      collect_paths: also return per-iteration selection paths + G (the
-        demo's visit-density mask input; memory ~R*B*max_depth).
-      return_tree: also return the final tree arrays (tests/debugging).
-    """
+) -> SearchCarry:
+    """Search setup: root encode (posterior mean, mcts.py:158-161), habit
+    prior, phase-A short-circuit (mcts.py:166-170), root expand
+    (mcts.py:172). Phase-A-decided envs start ``done`` — they skip the
+    search entirely, like the reference's immediate return."""
     B = frames.shape[0]
     A = agent.pi_dim
     if p.crn and p.fused_eval:
@@ -447,11 +485,7 @@ def active_inference_mcts(
             "MCTSParams.crn requires the unfused evaluator "
             "(fused_eval concatenates rows with per-row noise)"
         )
-    # ceil(repeats / expand_k) sequential iterations of expand_k expansions
-    # each preserve the total expansion budget.
-    n_iters = -(-p.repeats // p.expand_k)
-    n_expansions = n_iters * p.expand_k
-    N_max = A * (n_expansions + 1) + 2  # root + children per expansion + pad
+    _, _, N_max = _budget(p, A)
     k_habit, k_root, k_loop, k_final = jax.random.split(key, 4)
 
     # Root: posterior MEAN of the encoded frame (mcts.py:158-161).
@@ -470,10 +504,6 @@ def active_inference_mcts(
         states_explored=jnp.zeros((B,), jnp.int32),
         depth_capped=jnp.zeros((B,), jnp.int32),
     )
-    # Fused evaluation covers the planner's use_means=True estimator
-    # (calculate_G_mean expands); the sampled-expand configuration keeps the
-    # unfused path.
-    use_fused = p.fused_eval and p.use_means
 
     # ---- phase A: habit short-circuit (mcts.py:166-170) -------------------
     if p.use_habit:
@@ -494,35 +524,50 @@ def active_inference_mcts(
         children=tree.children.at[:, 0].set(
             jnp.broadcast_to(jnp.arange(1, A + 1, dtype=jnp.int32), (B, A))
         ),
-        s=jax.lax.dynamic_update_slice(
-            tree.s, ps_next, (0, 1, 0)
-        ),
+        s=jax.lax.dynamic_update_slice(tree.s, ps_next, (0, 1, 0)),
+    )
+    return SearchCarry(
+        i=jnp.asarray(0, jnp.int32),
+        tree=tree,
+        done=_phase_b_done(tree, p) | habit_done,
+        habit_done=habit_done,
+        habit_action=habit_action,
+        root_Qpi=root_Qpi,
+        k_loop=k_loop,
+        k_final=k_final,
     )
 
+
+def _run_search(
+    agent: ActiveInferenceAgent,
+    params: Params,
+    carry: SearchCarry,
+    p: MCTSParams,
+    i_end,
+    paths_buf: Optional[jax.Array] = None,
+    paths_G_buf: Optional[jax.Array] = None,
+):
+    """Advance the search until iteration ``i_end`` (a dynamic scalar,
+    clamped to the repeat budget) or until every env has decided. Returns
+    (carry, paths_buf, paths_G_buf)."""
+    B, N_max, A = carry.tree.W.shape
+    n_iters, _, _ = _budget(p, A)
+    use_fused = p.fused_eval and p.use_means
+    collect_paths = paths_buf is not None
+    k_loop = carry.k_loop
     bidx = jnp.arange(B)
-    paths_buf = (
-        jnp.full((n_expansions, B, p.max_depth), -1, jnp.int32)
-        if collect_paths
-        else None
-    )
-    paths_G_buf = jnp.zeros((n_expansions, B)) if collect_paths else None
+    i_cap = jnp.minimum(jnp.asarray(i_end, jnp.int32), n_iters)
 
-    def _phase_b_done(tree):
-        # phase B check (mcts.py:176-181): normalized root visits confident.
-        N_root = tree.N[:, 0]
-        N_norm = N_root / jnp.maximum(N_root.sum(-1, keepdims=True), 1e-12)
-        return tree.done | (_calc_threshold(N_norm) > p.threshold)
-
-    def loop_cond(carry):
+    def loop_cond(carry_):
         # Early exit when every env has decided — the reference's per-env
         # `break` (mcts.py:176-181) as a batched while_loop, so decided
         # batches stop paying expand+simulate cost. `done` rides the carry
         # (computed once per iteration, at the end of the previous one).
-        i, tree, _, _, done = carry
-        return jnp.logical_and(i < n_iters, jnp.any(~done))
+        i, tree, _, _, done = carry_
+        return jnp.logical_and(i < i_cap, jnp.any(~done))
 
-    def iteration(carry):
-        i, tree, paths_buf, paths_G_buf, done = carry
+    def iteration(carry_):
+        i, tree, paths_buf, paths_G_buf, done = carry_
         k_i = jax.random.fold_in(k_loop, i)
         k_exp, k_sim, k_sel = jax.random.split(k_i, 3)
 
@@ -616,16 +661,16 @@ def active_inference_mcts(
                 jnp.where(active[:, None], acts, -1)
             )
             paths_G_buf = paths_G_buf.at[i].set(G_sim)
-        return i + 1, tree, paths_buf, paths_G_buf, _phase_b_done(tree)
+        return i + 1, tree, paths_buf, paths_G_buf, _phase_b_done(tree, p)
 
-    def iteration_k(carry):
+    def iteration_k(carry_):
         """expand_k > 1: k virtual-loss selection walks, ONE k*B-batch G
         evaluation, k seed+backprop scatters. The dN half of backprop is
         applied at select time (the virtual visit) so successive walks
         diverge; the dG half lands after evaluation — an active env's final
         tree state per walk matches the sequential path exactly except that
         walks within an iteration cannot see each other's G results."""
-        i, tree, paths_buf, paths_G_buf, done = carry
+        i, tree, paths_buf, paths_G_buf, done = carry_
         kx = p.expand_k
         k_i = jax.random.fold_in(k_loop, i)
         keys = jax.random.split(k_i, 1 + kx)
@@ -731,54 +776,275 @@ def active_inference_mcts(
             * p.simulation_repeats,
             depth_capped=tree.depth_capped + capped,
         )
-        return i + 1, tree, paths_buf, paths_G_buf, _phase_b_done(tree)
+        return i + 1, tree, paths_buf, paths_G_buf, _phase_b_done(tree, p)
 
-    _, tree, paths_buf, paths_G_buf, done = jax.lax.while_loop(
+    i, tree, paths_buf, paths_G_buf, done = jax.lax.while_loop(
         loop_cond,
         iteration_k if p.expand_k > 1 else iteration,
-        (
-            jnp.asarray(0, jnp.int32),
-            tree,
-            paths_buf,
-            paths_G_buf,
-            _phase_b_done(tree),
-        ),
+        (carry.i, carry.tree, paths_buf, paths_G_buf, carry.done),
     )
     # Envs whose threshold crossed on what would have been the next
     # iteration are already decided; finalize the done flags so
     # repeats_done matches the reference's per-env break point.
-    tree = tree.replace(done=done)
+    carry = carry.replace(i=i, tree=tree.replace(done=done), done=done)
+    return carry, paths_buf, paths_G_buf
 
+
+def _finalize_search(
+    agent: ActiveInferenceAgent, carry: SearchCarry, p: MCTSParams
+) -> MCTSResult:
+    """Final visit-count action path + trim (phase C, mcts.py:193-195),
+    with phase-A overrides (single habit action, zero search)."""
+    tree = carry.tree
+    A = agent.pi_dim
     actions, lengths = _action_selection(
         tree, p.max_depth, A,
-        deterministic=p.deterministic_action, key=k_final,
+        deterministic=p.deterministic_action, key=carry.k_final,
     )
-
-    # phase-A overrides: single habit action, zero search.
+    repeats_done = tree.repeats_done
+    states_explored = tree.states_explored
     if p.use_habit:
         actions = jnp.where(
-            habit_done[:, None],
-            jnp.full_like(actions, -1).at[:, 0].set(habit_action),
+            carry.habit_done[:, None],
+            jnp.full_like(actions, -1).at[:, 0].set(carry.habit_action),
             actions,
         )
-        lengths = jnp.where(habit_done, 1, lengths)
-        tree = tree.replace(
-            repeats_done=jnp.where(habit_done, 0, tree.repeats_done),
-            states_explored=jnp.where(habit_done, 0, tree.states_explored),
-        )
-
+        lengths = jnp.where(carry.habit_done, 1, lengths)
+        repeats_done = jnp.where(carry.habit_done, 0, repeats_done)
+        states_explored = jnp.where(carry.habit_done, 0, states_explored)
     return MCTSResult(
         actions=actions,
         lengths=lengths,
-        repeats_done=tree.repeats_done,
-        states_explored=tree.states_explored,
+        repeats_done=repeats_done,
+        states_explored=states_explored,
         depth_capped=tree.depth_capped,
         root_N=tree.N[:, 0],
-        root_Qpi=root_Qpi,
-        all_paths=paths_buf,
-        all_paths_G=paths_G_buf,
-        tree=tree if return_tree else None,
+        root_Qpi=carry.root_Qpi,
+        all_paths=None,
+        all_paths_G=None,
+        tree=None,
     )
+
+
+def active_inference_mcts(
+    agent: ActiveInferenceAgent,
+    params: Params,
+    key: jax.Array,
+    frames: jax.Array,
+    p: MCTSParams,
+    collect_paths: bool = False,
+    return_tree: bool = False,
+) -> MCTSResult:
+    """Batched planner entry point (mcts.py:150-195).
+
+    Args:
+      frames: (B, H, W, C) current observations.
+      collect_paths: also return per-iteration selection paths + G (the
+        demo's visit-density mask input; memory ~R*B*max_depth).
+      return_tree: also return the final tree arrays (tests/debugging).
+    """
+    B = frames.shape[0]
+    A = agent.pi_dim
+    n_iters, n_expansions, _ = _budget(p, A)
+    carry = _init_search(agent, params, key, frames, p)
+    paths_buf = (
+        jnp.full((n_expansions, B, p.max_depth), -1, jnp.int32)
+        if collect_paths
+        else None
+    )
+    paths_G_buf = jnp.zeros((n_expansions, B)) if collect_paths else None
+    carry, paths_buf, paths_G_buf = _run_search(
+        agent, params, carry, p, n_iters, paths_buf, paths_G_buf
+    )
+    res = _finalize_search(agent, carry, p)
+    tree_out = None
+    if return_tree:
+        tree_out = carry.tree.replace(
+            repeats_done=res.repeats_done,
+            states_explored=res.states_explored,
+        )
+    return res._replace(
+        all_paths=paths_buf, all_paths_G=paths_G_buf, tree=tree_out
+    )
+
+
+def _gather_carry(carry: SearchCarry, idx: jax.Array) -> SearchCarry:
+    """Re-pack per-env search state onto the rows in ``idx`` (compaction)."""
+    return carry.replace(
+        tree=jax.tree.map(lambda x: x[idx], carry.tree),
+        done=carry.done[idx],
+        habit_done=carry.habit_done[idx],
+        habit_action=carry.habit_action[idx],
+        root_Qpi=carry.root_Qpi[idx],
+    )
+
+
+def make_bucketed_planner(
+    agent: ActiveInferenceAgent,
+    p: MCTSParams,
+    check_every: int = 16,
+    min_bucket: int = 32,
+):
+    """Host-driven planner with batch compaction — the deployed fast path.
+
+    The jitted planner's batched while_loop runs until the SLOWEST env in
+    the batch decides; with a trained habit prior most envs phase-B-exit in
+    a fraction of the repeat budget (measured: avg 102/300 expansions at
+    B=256), but the tail envs keep the full batch paying masked G-network
+    compute. This driver pauses the search every ``check_every``
+    iterations, retires decided envs (their trees are frozen — finalizing
+    early is exact), and gathers the stragglers into the smallest
+    power-of-two bucket ≥ max(active, ``min_bucket``). Iteration cost then
+    tracks the *active* env count instead of the original batch size.
+
+    Per-env search semantics are identical to ``active_inference_mcts``
+    (same tree updates, same fold_in(k_loop, i) key sequence); only the
+    batch row layout of the MC noise differs after a compaction (like
+    ``fused_eval``, the estimator's distribution is unchanged). With no
+    compaction triggered (e.g. B == min_bucket) results are bitwise equal
+    to the plain planner.
+
+    Each distinct bucket size JIT-compiles its own executable (ladder of
+    ≤ log2(B/min_bucket) sizes, cached persistently via utils/compcache).
+    ``collect_paths``/``return_tree`` are not supported.
+
+    Measured (TPU v5e via the axon tunnel, trained epoch-1136 prior,
+    reference budget repeats=300 fused bf16): B=256 97-102 plans/s vs 80
+    plain (1.25x); B=1024 107 vs 75 (1.43x — the tunnel's ~50ms/chunk RTT
+    amortizes over more envs). Ideal-compute ceiling from the measured
+    active-env decay and per-iteration costs is ~2.1x plain; the gap is
+    pure host-tunnel round-trip latency (scripts/mcts_bucketed_bench.py,
+    docs/STATUS.md round-3 notes), which a locally-attached TPU would not
+    pay.
+
+    Returns ``plan(params, key, frames) -> MCTSResult``.
+    """
+    import numpy as np
+
+    n_iters, _, _ = _budget(p, agent.pi_dim)
+
+    @jax.jit
+    def init_j(params, key, frames):
+        return _init_search(agent, params, key, frames, p)
+
+    @jax.jit
+    def run_j(params, carry, i_end):
+        carry, _, _ = _run_search(agent, params, carry, p, i_end)
+        return carry
+
+    @jax.jit
+    def fin_j(carry):
+        return _finalize_search(agent, carry, p)
+
+    @jax.jit
+    def gather_j(carry, idx):
+        return _gather_carry(carry, idx)
+
+    out_fields = (
+        "actions", "lengths", "repeats_done", "states_explored",
+        "depth_capped", "root_N", "root_Qpi",
+    )
+
+    def plan(params, key, frames) -> MCTSResult:
+        B0 = frames.shape[0]
+        A = agent.pi_dim
+        plan.bucket_trace = [B0]  # bucket sizes this call (diagnostics)
+        gidx = np.arange(B0)  # bucket row -> original env row (-1 = pad)
+        out = {
+            "actions": np.full((B0, p.max_depth), -1, np.int32),
+            "lengths": np.zeros((B0,), np.int32),
+            "repeats_done": np.zeros((B0,), np.int32),
+            "states_explored": np.zeros((B0,), np.int32),
+            "depth_capped": np.zeros((B0,), np.int32),
+            "root_N": np.zeros((B0, A), np.float32),
+            "root_Qpi": np.zeros((B0, A), np.float32),
+        }
+
+        # Pipelined driver: the next chunk is enqueued BEFORE syncing on the
+        # previous one's done mask, so the (axon-tunnel-expensive) host
+        # round trip overlaps device compute and the device queue never
+        # starves. Retirement decisions therefore run one chunk stale —
+        # always valid, since ``done`` only grows and a done env's tree is
+        # frozen (finalizing it any number of chunks later is exact). All
+        # result fetches are deferred to a single drain at the end.
+        stash = []  # (device MCTSResult, bucket rows, original env rows)
+        # Once the bucket is at min_bucket no further compaction is
+        # possible: run the whole remaining budget as ONE chunk (the
+        # device-side while_loop still exits early when every env decides),
+        # instead of paying per-chunk dispatch overhead for nothing.
+        stride = check_every if B0 > min_bucket else n_iters
+        i_host = min(stride, n_iters)
+        pending = run_j(params, init_j(params, key, frames),
+                        jnp.asarray(i_host, jnp.int32))
+        # Enqueue the D2H copy of the done mask BEFORE the next chunk's
+        # dispatch enters the (FIFO) device queue, so reading it later
+        # doesn't serialize behind that chunk's compute.
+        pending.done.copy_to_host_async()
+        while True:
+            if i_host < n_iters:
+                i_next = min(i_host + stride, n_iters)
+                nxt = run_j(params, pending, jnp.asarray(i_next, jnp.int32))
+            else:
+                nxt, i_next = None, i_host
+            done = np.asarray(pending.done)  # blocks on `pending` only
+            if nxt is None or done.all():
+                # Budget exhausted, or everything decided (any enqueued
+                # ``nxt`` was a no-op pass: its while_loop cond is false).
+                final = nxt if nxt is not None else pending
+                stash.append((fin_j(final), np.arange(done.shape[0]), gidx))
+                break
+            cur_B = done.shape[0]
+            n_active = int((~done).sum())
+            new_B = cur_B
+            while new_B // 2 >= max(min_bucket, n_active):
+                new_B //= 2
+            if new_B < cur_B:
+                # Retire the envs known done as of `pending` (frozen since),
+                # reading their final results from `nxt`'s tree state.
+                rows = np.where(done)[0]
+                stash.append((fin_j(nxt), rows, gidx))
+                keep = np.where(~done)[0]
+                pad = new_B - keep.shape[0]
+                idx = np.concatenate([keep, np.full(pad, keep[0], np.int64)])
+                nxt = gather_j(nxt, jnp.asarray(idx, jnp.int32))
+                if pad:
+                    pad_done = np.zeros(new_B, bool)
+                    pad_done[keep.shape[0]:] = True
+                    nxt = nxt.replace(done=nxt.done | jnp.asarray(pad_done))
+                gidx = np.concatenate(
+                    [gidx[keep], np.full(pad, -1, np.int64)]
+                )
+                plan.bucket_trace.append(new_B)
+                if new_B <= min_bucket:
+                    stride = n_iters
+            pending, i_host = nxt, i_next
+            # Next loop reads pending.done: enqueue its D2H copy now, ahead
+            # of the next chunk's dispatch in the FIFO queue.
+            pending.done.copy_to_host_async()
+
+        for res, rows, gmap in stash:
+            dst = gmap[rows]
+            ok = dst >= 0
+            rows_ok, dst = rows[ok], dst[ok]
+            if rows_ok.size == 0:
+                continue
+            for name in out_fields:
+                out[name][dst] = np.asarray(getattr(res, name))[rows_ok]
+
+        return MCTSResult(
+            actions=jnp.asarray(out["actions"]),
+            lengths=jnp.asarray(out["lengths"]),
+            repeats_done=jnp.asarray(out["repeats_done"]),
+            states_explored=jnp.asarray(out["states_explored"]),
+            depth_capped=jnp.asarray(out["depth_capped"]),
+            root_N=jnp.asarray(out["root_N"]),
+            root_Qpi=jnp.asarray(out["root_Qpi"]),
+            all_paths=None,
+            all_paths_G=None,
+            tree=None,
+        )
+
+    return plan
 
 
 def make_jit_planner(

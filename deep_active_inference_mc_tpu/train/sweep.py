@@ -237,3 +237,87 @@ def run_sweep(
     for k in acc_keys:
         out[k] = jnp.asarray(acc[k])
     return out
+
+
+def run_sweep_bucketed(
+    agent: ActiveInferenceAgent,
+    cfg: Config,
+    params: Params,
+    lut: jax.Array,
+    key: jax.Array,
+    n_envs: int = 256,
+    n_macro_steps: int = 100,
+    jumps: int = 5,
+    mcts_params: Optional[mcts_lib.MCTSParams] = None,
+    check_every: int = 16,
+    min_bucket: int = 32,
+) -> Dict[str, jax.Array]:
+    """MCTS sweep on the bucketed (batch-compaction) planner.
+
+    The planner is host-driven (mcts_lib.make_bucketed_planner), so the
+    macro loop runs at host level: render and env stepping stay jitted,
+    planning pauses at iteration boundaries to retire decided envs. Output
+    keys match ``run_sweep``. Host-level macro steps also subsume
+    run_sweep's dispatch chunking (each device dispatch is ≤ check_every
+    planner iterations — far below the axon tunnel's crash horizon)."""
+    import numpy as np
+
+    if mcts_params is None:
+        mcts_params = mcts_lib.MCTSParams(repeats=50, max_depth=16)
+    plan = mcts_lib.make_bucketed_planner(
+        agent, mcts_params, check_every=check_every, min_bucket=min_bucket
+    )
+    render_fn = _make_render_fn(lut, None, cfg.resolution, cfg.colour_channels)
+    render = jax.jit(lambda env: render_fn(env))
+
+    @jax.jit
+    def apply_actions(k, env, a):
+        a_env = env_lib.to_env_actions(a, agent.pi_dim)
+        shape0 = env.latents[..., 1]
+        score0 = env.score
+        env, scored = env_lib.step_repeated(k, env, a_env, repeats=jumps)
+        delta = env.score - score0
+        is_sq = shape0 == 0
+        tallies = (
+            scored.sum(),
+            (scored & is_sq).sum(),
+            (scored & ~is_sq).sum(),
+            jnp.where(is_sq, delta, 0.0).sum(),
+            jnp.where(~is_sq, delta, 0.0).sum(),
+        )
+        return env, tallies
+
+    k_env, k_run = jax.random.split(key)
+    env = env_lib.randomize(k_env, env_lib.reset(k_env, n_envs))
+    env = env.replace(score=jnp.zeros_like(env.score))
+    acc = np.zeros(5)
+    buckets = []
+    for i in range(n_macro_steps):
+        k_plan, k_step = jax.random.split(jax.random.fold_in(k_run, i))
+        o = render(env)
+        res = plan(params, k_plan, o)
+        buckets.append(plan.bucket_trace)
+        first = np.asarray(res.actions[:, 0])
+        root_best = np.asarray(res.root_N).argmax(-1)
+        a = np.where(np.asarray(res.lengths) > 0, first, root_best)
+        env, tallies = apply_actions(
+            k_step, env, jnp.asarray(a, jnp.int32)
+        )
+        acc += np.asarray(jax.device_get(tallies), np.float64)
+    scores = env.score
+    n = scores.shape[0]
+    return {
+        "score_mean": scores.mean(),
+        "score_std": scores.std(),
+        "score_min": scores.min(),
+        "score_max": scores.max(),
+        "score_sem": scores.std() / jnp.sqrt(n),
+        "scoring_events": jnp.asarray(acc[0]),
+        "events_sq": jnp.asarray(acc[1]),
+        "events_other": jnp.asarray(acc[2]),
+        "score_sq": jnp.asarray(acc[3] / n),
+        "score_other": jnp.asarray(acc[4] / n),
+        "scores": scores,
+        "env": env,
+        "bucket_traces": buckets,
+    }
