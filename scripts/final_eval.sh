@@ -32,16 +32,29 @@ run_with_retry() {
   return 1
 }
 
-for METHOD in random expert habit ai ai_crn mcts; do
+AI_ENVS=${AI_ENVS:-1024}          # 4 actions x 4096 envs through the
+                                  # decoder over-commits one v5e's HBM
+MCTSB_ENVS=${MCTSB_ENVS:-512}     # bucketed planner affords 2x the envs
+                                  # at ~16min (1024 would be ~32min)
+
+for METHOD in random expert habit ai ai_crn mcts mcts_bucketed; do
   EXTRA=""
   N=$ENVS
   M=$METHOD
   TMO=540
   case $METHOD in
-    ai)     EXTRA="--steps 2" ;;
-    ai_crn) M=ai; EXTRA="--steps 2 --crn" ;;
+    ai)     EXTRA="--steps 2"; N=$AI_ENVS ;;
+    ai_crn) M=ai; EXTRA="--steps 2 --crn"; N=$AI_ENVS ;;
     mcts)   EXTRA="--mcts_repeats $MCTS_REPEATS --mcts_fused --bf16 --chunk 8"
             N=$MCTS_ENVS; TMO=1800 ;;
+    mcts_bucketed)
+            # Batch-compaction planner (plan/mcts.py:make_bucketed_planner):
+            # same estimators, decided envs retire mid-search — 4x the env
+            # count at similar wall time. Host-level macro loop subsumes
+            # --chunk.
+            M=mcts
+            EXTRA="--mcts_repeats $MCTS_REPEATS --mcts_fused --bf16 --mcts_bucketed"
+            N=$MCTSB_ENVS; TMO=3600 ;;
   esac
   echo "# sweep method=$METHOD"
   run_with_retry "sweep:$METHOD" $TMO \
