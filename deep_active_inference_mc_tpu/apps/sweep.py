@@ -80,6 +80,11 @@ def main(argv=None):
                         help="Macro-steps per device dispatch. Multi-minute "
                         "dispatches crash the axon tunnel worker; drop to "
                         "~8 for reference-budget MCTS (300 repeats).")
+    parser.add_argument("--env_chunk", type=int, default=0,
+                        help="Env-batch width per dispatch (0 = full batch). "
+                        "The HBM lever: 2-step EFE at 4096 envs needs "
+                        "--env_chunk 1024 on one v5e; groups are exact "
+                        "(envs are independent).")
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args(argv)
 
@@ -127,6 +132,7 @@ def main(argv=None):
             agent, cfg, params, lut, jax.random.key(args.seed),
             n_envs=args.envs, mesh=mesh, method=args.method,
             n_macro_steps=args.macro, chunk=args.chunk,
+            env_chunk=args.env_chunk or None,
             steps=args.steps, samples=args.samples,
             jumps=args.jumps, temperature=args.temp,
             calc_mean=not args.sample_G, crn=args.crn,

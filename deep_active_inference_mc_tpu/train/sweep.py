@@ -184,6 +184,27 @@ def make_sweep(
     return sweep
 
 
+_ACC_KEYS = (
+    "scoring_events", "events_sq", "events_other", "score_sq",
+    "score_other",
+)
+
+
+def _run_macro_chunks(sweeps, params, k_run, env, lengths):
+    """Drive one env batch through the bounded-dispatch macro chunks."""
+    acc = {k: 0.0 for k in _ACC_KEYS}
+    out = None
+    for i, n in enumerate(lengths):
+        out = sweeps[n](params, jax.random.fold_in(k_run, i), env)
+        env = out["env"]
+        for k in _ACC_KEYS:
+            acc[k] += float(out[k])
+    out = dict(out)
+    for k in _ACC_KEYS:
+        out[k] = jnp.asarray(acc[k])
+    return out
+
+
 def run_sweep(
     agent: ActiveInferenceAgent,
     cfg: Config,
@@ -194,6 +215,7 @@ def run_sweep(
     mesh=None,
     n_macro_steps: int = 100,
     chunk: int = 50,
+    env_chunk: Optional[int] = None,
     **kwargs,
 ) -> Dict[str, jax.Array]:
     """Evaluate over ``n_envs`` fresh environments; optionally shard the env
@@ -202,7 +224,16 @@ def run_sweep(
     The sweep runs as ceil(n_macro_steps/chunk) bounded dispatches with the
     env carried across calls: a single multi-minute device dispatch can
     crash the axon tunnel's worker (observed at 256 envs x 200 macro MCTS),
-    and bounded dispatches cost nothing on the XLA side."""
+    and bounded dispatches cost nothing on the XLA side.
+
+    ``env_chunk`` additionally bounds the env-batch *width* per dispatch:
+    the full n_envs batch is initialized once (so initial states stay
+    paired with an unchunked run at the same key), then evaluated as
+    independent sequential groups of env_chunk envs. This is the HBM lever:
+    a 2-step EFE sweep at 4096 envs (4 actions x MC x 4096 through the
+    64x64 decoder) over-commits one v5e's HBM, but 4x1024 groups fit —
+    scores are exact per group (envs never interact), only the per-group
+    PRNG streams differ from the unchunked run."""
     k_env, k_run = jax.random.split(key)
     env = env_lib.randomize(k_env, env_lib.reset(k_env, n_envs))
     if mesh is not None:
@@ -222,21 +253,40 @@ def run_sweep(
         for n in set(lengths)
     }
     env = env.replace(score=jnp.zeros_like(env.score))
-    acc_keys = (
-        "scoring_events", "events_sq", "events_other", "score_sq",
-        "score_other",
-    )
-    acc = {k: 0.0 for k in acc_keys}
-    out = None
-    for i, n in enumerate(lengths):
-        out = sweeps[n](params, jax.random.fold_in(k_run, i), env)
-        env = out["env"]
-        for k in acc_keys:
-            acc[k] += float(out[k])
-    out = dict(out)
-    for k in acc_keys:
-        out[k] = jnp.asarray(acc[k])
-    return out
+    if not env_chunk or env_chunk >= n_envs:
+        return _run_macro_chunks(sweeps, params, k_run, env, lengths)
+    if n_envs % env_chunk:
+        raise ValueError(
+            f"env_chunk={env_chunk} must divide n_envs={n_envs}"
+        )
+    outs = []
+    for g in range(n_envs // env_chunk):
+        sub = jax.tree.map(
+            lambda x: x[g * env_chunk:(g + 1) * env_chunk], env
+        )
+        outs.append(_run_macro_chunks(
+            sweeps, params, jax.random.fold_in(k_run, 10_000 + g), sub,
+            lengths,
+        ))
+    scores = jnp.concatenate([o["scores"] for o in outs])
+    n = scores.shape[0]
+    merged = {
+        "score_mean": scores.mean(),
+        "score_std": scores.std(),
+        "score_min": scores.min(),
+        "score_max": scores.max(),
+        "score_sem": scores.std() / jnp.sqrt(n),
+        "scores": scores,
+        "env": jax.tree.map(
+            lambda *xs: jnp.concatenate(xs), *[o["env"] for o in outs]
+        ),
+    }
+    for k in _ACC_KEYS:
+        vals = jnp.stack([o[k] for o in outs])
+        # score_sq/score_other are per-env means; groups are equal-sized so
+        # the mean of group means is the batch mean. Event counts sum.
+        merged[k] = vals.mean() if k.startswith("score") else vals.sum()
+    return merged
 
 
 def run_sweep_bucketed(

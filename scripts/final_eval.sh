@@ -32,8 +32,11 @@ run_with_retry() {
   return 1
 }
 
-AI_ENVS=${AI_ENVS:-1024}          # 4 actions x 4096 envs through the
-                                  # decoder over-commits one v5e's HBM
+AI_ENVS=${AI_ENVS:-4096}          # 4 actions x 4096 envs through the
+                                  # decoder over-commits one v5e's HBM —
+                                  # --env_chunk 1024 runs 4 exact
+                                  # sequential groups instead
+AI_CHUNK=${AI_CHUNK:-1024}
 MCTSB_ENVS=${MCTSB_ENVS:-512}     # bucketed planner affords 2x the envs
                                   # at ~16min (1024 would be ~32min)
 
@@ -43,8 +46,8 @@ for METHOD in random expert habit ai ai_crn mcts mcts_bucketed; do
   M=$METHOD
   TMO=540
   case $METHOD in
-    ai)     EXTRA="--steps 2"; N=$AI_ENVS ;;
-    ai_crn) M=ai; EXTRA="--steps 2 --crn"; N=$AI_ENVS ;;
+    ai)     EXTRA="--steps 2 --env_chunk $AI_CHUNK"; N=$AI_ENVS; TMO=1200 ;;
+    ai_crn) M=ai; EXTRA="--steps 2 --crn --env_chunk $AI_CHUNK"; N=$AI_ENVS; TMO=1200 ;;
     mcts)   EXTRA="--mcts_repeats $MCTS_REPEATS --mcts_fused --bf16 --chunk 8"
             N=$MCTS_ENVS; TMO=1800 ;;
     mcts_bucketed)

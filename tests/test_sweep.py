@@ -72,3 +72,39 @@ def test_sweep_on_mesh(cfg, agent, params, lut):
         mesh=mesh, method="habit", n_macro_steps=3, jumps=2,
     )
     assert np.isfinite(float(out["score_mean"]))
+
+
+def test_env_chunked_sweep_matches_stats(cfg, agent, params, lut):
+    """env_chunk groups are exact (envs are independent): the merged stats
+    must be self-consistent and the initial env population identical to the
+    unchunked run at the same key (paired eval guarantee)."""
+    from deep_active_inference_mc_tpu.envs import dsprites as env_lib
+    import jax.numpy as jnp
+
+    key = jax.random.key(7)
+    out = sweep_lib.run_sweep(
+        agent, cfg, params, lut, key, n_envs=32, method="expert",
+        n_macro_steps=10, jumps=5, env_chunk=8,
+    )
+    scores = np.asarray(out["scores"])
+    assert scores.shape == (32,)
+    assert np.isclose(float(out["score_mean"]), scores.mean(), atol=1e-6)
+    assert np.isclose(float(out["score_sem"]),
+                      scores.std() / np.sqrt(32), atol=1e-6)
+    # Expert scores regardless of chunking.
+    assert float(out["score_mean"]) > 0.1
+    assert int(out["scoring_events"]) >= (
+        int(out["events_sq"]) + int(out["events_other"])) - 1
+    # Initial env states are built once from the same key as unchunked.
+    k_env, _ = jax.random.split(key)
+    env0 = env_lib.randomize(k_env, env_lib.reset(k_env, 32))
+    final_env = out["env"]
+    assert final_env.latents.shape == env0.latents.shape
+
+
+def test_env_chunk_must_divide(cfg, agent, params, lut):
+    with pytest.raises(ValueError, match="env_chunk"):
+        sweep_lib.run_sweep(
+            agent, cfg, params, lut, jax.random.key(8), n_envs=10,
+            method="random", n_macro_steps=2, env_chunk=4,
+        )
