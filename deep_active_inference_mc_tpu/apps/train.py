@@ -226,6 +226,10 @@ def main(argv=None):
             stats["current_lr"].append(cfg.l_rate_down)
             stats["mse_r"].append(float(ev["mse_r"]))
             stats["deep_mse_o"].append(float(ev["deep_mse_o"]))
+            for k in ("gnorm_top", "gnorm_mid", "gnorm_down"):
+                stats[k].append(train_metrics[k])
+                stats[k + "_max"].append(train_metrics[k + "_max"])
+            stats["F_down_round_max"].append(train_metrics["F_down_max"])
 
             sc = jax.device_get(score_fn(state.params, k_sw, sweep_env))
             sc_h = jax.device_get(
@@ -283,6 +287,10 @@ def main(argv=None):
                 f"(h {stats['train_scores_habit_m'][-1]:.2f}), "
                 f"edge: h {stats['edge_habit_correct'][-1] - stats['edge_habit_wrong'][-1]:+.3f} "
                 f"g {stats['edge_g_correct'][-1] - stats['edge_g_wrong'][-1]:+.3f}, "
+                f"gn: {stats['gnorm_top'][-1]:.1f}/{stats['gnorm_mid'][-1]:.1f}/"
+                f"{stats['gnorm_down'][-1]:.1f} "
+                f"(max {stats['gnorm_top_max'][-1]:.0f}/{stats['gnorm_mid_max'][-1]:.0f}/"
+                f"{stats['gnorm_down_max'][-1]:.0f}, Fd^ {stats['F_down_round_max'][-1]:.0f}), "
                 f"env_steps/s: {env_sps:.2e}, "
                 f"dur. {time.time() - start_time:.2f}s",
                 flush=True,

@@ -84,6 +84,11 @@ class Config:
     l_rate_top: float = 1e-4
     l_rate_mid: float = 1e-4
     l_rate_down: float = 1e-3
+    # Global-norm gradient clipping per layer optimizer; 0 = off (reference
+    # semantics — plain Adam, train.py:89-94). Added with the per-round
+    # grad-norm instrumentation to diagnose/bound the rare ~30% F spikes
+    # seen at batch 512 (train512.log epochs 1372/1389).
+    clip_grad: float = 0.0
 
     # --- training volume (train.py:20,47-49) ---
     batch: int = 50

@@ -255,6 +255,8 @@ def run_sweep(
     env = env.replace(score=jnp.zeros_like(env.score))
     if not env_chunk or env_chunk >= n_envs:
         return _run_macro_chunks(sweeps, params, k_run, env, lengths)
+    if env_chunk < 0:
+        raise ValueError(f"env_chunk={env_chunk} must be positive")
     if n_envs % env_chunk:
         raise ValueError(
             f"env_chunk={env_chunk} must divide n_envs={n_envs}"
@@ -264,6 +266,13 @@ def run_sweep(
         sub = jax.tree.map(
             lambda x: x[g * env_chunk:(g + 1) * env_chunk], env
         )
+        if mesh is not None:
+            # A contiguous slice of the data-sharded batch lands on a
+            # subset of devices; re-spread each group over the full mesh
+            # so env_chunk doesn't silently serialize data parallelism.
+            from deep_active_inference_mc_tpu.parallel import mesh as mesh_lib
+
+            sub = jax.device_put(sub, mesh_lib.batch_sharding(mesh))
         outs.append(_run_macro_chunks(
             sweeps, params, jax.random.fold_in(k_run, 10_000 + g), sub,
             lengths,

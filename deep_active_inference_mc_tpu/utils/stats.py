@@ -40,6 +40,12 @@ STATS_KEYS = [
     "edge_habit_correct", "edge_habit_wrong",
     "edge_g_correct", "edge_g_wrong",
     "edge_g_gap_nats", "edge_g_sq_gap_nats", "edge_g_oth_gap_nats",
+    # Round-4 grad observability (VERDICT r3 weak #4): per-layer gradient
+    # global norms — last round of the epoch plus the epoch's worst round —
+    # and the worst per-round F_down, to localize/bound loss spikes.
+    "gnorm_top", "gnorm_mid", "gnorm_down",
+    "gnorm_top_max", "gnorm_mid_max", "gnorm_down_max",
+    "F_down_round_max",
 ]
 
 

@@ -74,12 +74,22 @@ def test_sweep_on_mesh(cfg, agent, params, lut):
     assert np.isfinite(float(out["score_mean"]))
 
 
-def test_env_chunked_sweep_matches_stats(cfg, agent, params, lut):
+def test_env_chunked_sweep_matches_stats(cfg, agent, params, lut, monkeypatch):
     """env_chunk groups are exact (envs are independent): the merged stats
     must be self-consistent and the initial env population identical to the
     unchunked run at the same key (paired eval guarantee)."""
     from deep_active_inference_mc_tpu.envs import dsprites as env_lib
-    import jax.numpy as jnp
+
+    # Capture the initial env of every chunk dispatch to verify pairing by
+    # CONTENT, not shape (ADVICE r3 #1).
+    captured = []
+    orig = sweep_lib._run_macro_chunks
+
+    def spy(sweeps, params_, k_run, env, lengths):
+        captured.append(jax.device_get(env.latents))
+        return orig(sweeps, params_, k_run, env, lengths)
+
+    monkeypatch.setattr(sweep_lib, "_run_macro_chunks", spy)
 
     key = jax.random.key(7)
     out = sweep_lib.run_sweep(
@@ -95,11 +105,22 @@ def test_env_chunked_sweep_matches_stats(cfg, agent, params, lut):
     assert float(out["score_mean"]) > 0.1
     assert int(out["scoring_events"]) >= (
         int(out["events_sq"]) + int(out["events_other"])) - 1
-    # Initial env states are built once from the same key as unchunked.
+    # Paired eval guarantee: the concatenated chunk-initial latents ARE the
+    # unchunked run's initial population at the same key.
     k_env, _ = jax.random.split(key)
     env0 = env_lib.randomize(k_env, env_lib.reset(k_env, 32))
-    final_env = out["env"]
-    assert final_env.latents.shape == env0.latents.shape
+    assert len(captured) == 4
+    np.testing.assert_array_equal(
+        np.concatenate(captured, axis=0), np.asarray(env0.latents)
+    )
+
+
+def test_env_chunk_must_be_positive(cfg, agent, params, lut):
+    with pytest.raises(ValueError, match="positive"):
+        sweep_lib.run_sweep(
+            agent, cfg, params, lut, jax.random.key(8), n_envs=8,
+            method="random", n_macro_steps=2, env_chunk=-1,
+        )
 
 
 def test_env_chunk_must_divide(cfg, agent, params, lut):
