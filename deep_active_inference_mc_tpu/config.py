@@ -69,6 +69,23 @@ class Config:
     # (uniform posY, game_environment.py:70).
     edge_frac: float = 0.0
 
+    # --- MCTS-visit distillation (train/distill.py; no reference analogue).
+    # Every distill_every epochs, a jitted MCTS fleet (distill_envs envs x
+    # distill_macro decisions at distill_repeats expansions, expand_k-wide
+    # virtual-loss iterations) records root visit distributions, and the
+    # habit net takes extra F_top steps against them (AlphaZero policy
+    # improvement on top of the reference's softmax(-G) teacher, which
+    # measurably plateaus at ~0.34 sweep score). 0 = off (reference
+    # semantics).
+    distill_every: int = 0
+    distill_envs: int = 256
+    distill_macro: int = 40
+    distill_repeats: int = 100
+    distill_expand_k: int = 4
+    distill_batch: int = 2048
+    distill_passes: int = 4
+    distill_temp: float = 1.0
+
     # VAE encoder/decoder dropout during the training losses (0/1). The torch
     # port trains with it unconditionally live (modules never .eval(),
     # SURVEY.md §2.9), but the paper's MC-dropout mechanism is the

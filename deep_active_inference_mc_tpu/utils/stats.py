@@ -46,6 +46,13 @@ STATS_KEYS = [
     "gnorm_top", "gnorm_mid", "gnorm_down",
     "gnorm_top_max", "gnorm_mid_max", "gnorm_down_max",
     "F_down_round_max",
+    # Round-4 MCTS-visit distillation (train/distill.py): per-epoch series,
+    # zero on epochs without a phase. kl_* are the F_top against the visit
+    # targets at the phase's first/last step; match_* the argmax agreement
+    # between habit and visits; target_entropy the teacher's sharpness.
+    "distill_kl_first", "distill_kl_last",
+    "distill_match_first", "distill_match_last",
+    "distill_target_entropy",
 ]
 
 

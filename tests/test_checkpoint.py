@@ -11,6 +11,8 @@ from deep_active_inference_mc_tpu.train import loop as train_loop
 from deep_active_inference_mc_tpu.utils import checkpoint as ckpt
 from deep_active_inference_mc_tpu.utils import stats as stats_lib
 
+pytestmark = pytest.mark.smoke  # pre-commit tier: `pytest -m smoke`
+
 
 @pytest.fixture(scope="module")
 def cfg():

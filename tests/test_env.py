@@ -9,6 +9,8 @@ import pytest
 from deep_active_inference_mc_tpu.envs import dsprites as env
 from deep_active_inference_mc_tpu.envs import raster
 
+pytestmark = pytest.mark.smoke  # pre-commit tier: `pytest -m smoke`
+
 
 @pytest.fixture(scope="module")
 def lut():

@@ -10,6 +10,8 @@ import pytest
 
 from deep_active_inference_mc_tpu.ops import math as m
 
+pytestmark = pytest.mark.smoke  # pre-commit tier: `pytest -m smoke`
+
 
 def test_kl_div_gaussian_zero_for_identical():
     mu = jnp.asarray([0.3, -1.2])

@@ -17,6 +17,8 @@ import pytest
 from deep_active_inference_mc_tpu.plan import mcts as amcts
 from deep_active_inference_mc_tpu.plan.mcts import MCTSParams
 
+pytestmark = pytest.mark.smoke  # pre-commit tier: `pytest -m smoke`
+
 S_DIM = 6
 A = 4
 

@@ -17,6 +17,8 @@ from deep_active_inference_mc_tpu.train import loop as train_loop
 from deep_active_inference_mc_tpu.train import losses
 from deep_active_inference_mc_tpu.train.evaluate import make_jit_eval
 
+pytestmark = pytest.mark.smoke  # pre-commit tier: `pytest -m smoke`
+
 
 @pytest.fixture(scope="module")
 def cfg():
