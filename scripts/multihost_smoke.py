@@ -89,7 +89,7 @@ def _child(host_id: int, coordinator: str) -> None:
     lut = raster.build_sprite_lut()
     state = train_loop.create_train_state(cfg, agent, jax.random.key(0))
     state = mesh_lib.shard_train_state(state, mesh, cfg)
-    round_fn = mesh_lib.make_sharded_round(agent, cfg, lut, mesh)
+    round_fn = mesh_lib.make_sharded_train_round(agent, cfg, lut, mesh)
     state, metrics = round_fn(state, jax.random.key(1))
     f_down = float(jax.device_get(metrics["F_down"].addressable_data(0)))
     assert f_down > 0.0 and f_down == f_down, f_down  # finite, positive
