@@ -110,6 +110,7 @@ def make_sweep(
     calc_mean: bool = True,
     zero_score: bool = True,
     crn: bool = False,
+    record_traj: bool = False,
 ):
     """Compile a sweep: (params, key, n_envs-batched env) -> score stats.
     ``zero_score=False`` continues accumulating a prior chunk's score
@@ -155,14 +156,35 @@ def make_sweep(
                 (scored & ~is_sq).sum(),
                 jnp.where(is_sq, delta, 0.0).sum(),
                 jnp.where(~is_sq, delta, 0.0).sum(),
+                # Fleet-mean cumulative score after this macro step — the
+                # per-step trajectory for comparison against the reference
+                # recording's frame-by-frame score overlay
+                # (scripts/score_vs_reference.py vs tests/data/gif_scores.npz).
+                env.score.mean(),
             )
             return env, tallies
 
-        env, (ev_all, ev_sq, ev_oth, r_sq, r_oth) = jax.lax.scan(
+        env, (ev_all, ev_sq, ev_oth, r_sq, r_oth, score_t) = jax.lax.scan(
             macro, env, jax.random.split(key, n_macro_steps)
         )
         scores = env.score
         n = scores.shape[0]
+        if record_traj:
+            return {
+                "score_traj": score_t,
+                "scores": scores,
+                "env": env,
+                "score_mean": scores.mean(),
+                "score_sem": scores.std() / jnp.sqrt(n),
+                "scoring_events": ev_all.sum(),
+                "events_sq": ev_sq.sum(),
+                "events_other": ev_oth.sum(),
+                "score_sq": r_sq.sum() / n,
+                "score_other": r_oth.sum() / n,
+                "score_std": scores.std(),
+                "score_min": scores.min(),
+                "score_max": scores.max(),
+            }
         return {
             "score_mean": scores.mean(),
             "score_std": scores.std(),
@@ -193,15 +215,20 @@ _ACC_KEYS = (
 def _run_macro_chunks(sweeps, params, k_run, env, lengths):
     """Drive one env batch through the bounded-dispatch macro chunks."""
     acc = {k: 0.0 for k in _ACC_KEYS}
+    trajs = []
     out = None
     for i, n in enumerate(lengths):
         out = sweeps[n](params, jax.random.fold_in(k_run, i), env)
         env = out["env"]
         for k in _ACC_KEYS:
             acc[k] += float(out[k])
+        if "score_traj" in out:
+            trajs.append(out["score_traj"])
     out = dict(out)
     for k in _ACC_KEYS:
         out[k] = jnp.asarray(acc[k])
+    if trajs:
+        out["score_traj"] = jnp.concatenate(trajs)
     return out
 
 
@@ -295,6 +322,11 @@ def run_sweep(
         # score_sq/score_other are per-env means; groups are equal-sized so
         # the mean of group means is the batch mean. Event counts sum.
         merged[k] = vals.mean() if k.startswith("score") else vals.sum()
+    if "score_traj" in outs[0]:
+        # Equal-sized groups: fleet-mean trajectory = mean of group means.
+        merged["score_traj"] = jnp.stack(
+            [o["score_traj"] for o in outs]
+        ).mean(axis=0)
     return merged
 
 

@@ -143,7 +143,7 @@ def behavior_plot(stats, filename):
     """Round-3 behavioral dashboard: paired sweep scores, per-shape score
     and event splits, and the scoring-edge discrimination probes — the
     instrumentation for the shape->side skill bottleneck (VERDICT r2)."""
-    fig, axes = plt.subplots(2, 2, figsize=(11, 8))
+    fig, axes = plt.subplots(2, 3, figsize=(15, 8))
     n = len(stats.get("train_scores_m", []))
 
     def offx(series):
@@ -220,6 +220,53 @@ def behavior_plot(stats, filename):
         ax2.set_ylabel("G gap (nats; red=all, orange=sq, purple=oth)",
                        color="tab:red", fontsize=8)
     ax.legend(fontsize=7)
+    ax.grid(True)
+
+    # Grad-norm observability (VERDICT r3 weak #4): per-layer last-round
+    # norms (solid) and epoch-worst (dashed) on a log axis — loss spikes
+    # localize to the layer whose _max series jumps.
+    ax = axes[0, 2]
+    for key, c in (("gnorm_top", "tab:blue"), ("gnorm_mid", "tab:green"),
+                   ("gnorm_down", "tab:red")):
+        s = np.asarray(stats.get(key, []))
+        mx = np.asarray(stats.get(key + "_max", []))
+        if len(s):
+            ax.plot(offx(s), s, color=c, lw=0.8, label=key[6:])
+        if len(mx):
+            ax.plot(offx(mx), mx, color=c, lw=0.6, ls="--", alpha=0.6)
+    ax.set_yscale("log")
+    ax.set_ylabel("grad global norm (-- epoch max)")
+    ax.legend(fontsize=7)
+    ax.grid(True)
+
+    # MCTS-visit distillation phases (train/distill.py): KL to the visit
+    # targets before/after each phase and the argmax agreement. Zeros =
+    # epochs without a phase; plot only the fired ones.
+    ax = axes[1, 2]
+    kf = np.asarray(stats.get("distill_kl_first", []))
+    if len(kf) and np.any(kf != 0.0):
+        x_all = offx(kf)
+        fired = kf != 0.0
+        kl = np.asarray(stats.get("distill_kl_last", []))
+        mf = np.asarray(stats.get("distill_match_first", []))
+        ml = np.asarray(stats.get("distill_match_last", []))
+        ax.plot(x_all[fired], kf[fired], "o-", color="tab:red", lw=0.8,
+                ms=2, label="KL pre")
+        ax.plot(x_all[fired], kl[fired], "o-", color="tab:blue", lw=0.8,
+                ms=2, label="KL post")
+        ax2 = ax.twinx()
+        ax2.plot(x_all[fired], mf[fired], color="tab:gray", lw=0.6,
+                 alpha=0.6)
+        ax2.plot(x_all[fired], ml[fired], color="k", lw=0.6, alpha=0.8)
+        ax2.set_ylabel("argmax match (gray=pre, black=post)", fontsize=8)
+        ax2.set_ylim(0, 1)
+        ax.set_ylabel("KL[habit || MCTS visits]")
+        ax.legend(fontsize=7)
+    else:
+        ax.set_axis_off()
+        ax.text(0.5, 0.5, "no distill phases", ha="center", va="center",
+                color="gray", fontsize=9)
+    ax.set_xlabel("epochs")
     ax.grid(True)
 
     fig.set_tight_layout(True)

@@ -129,3 +129,28 @@ def test_env_chunk_must_divide(cfg, agent, params, lut):
             agent, cfg, params, lut, jax.random.key(8), n_envs=10,
             method="random", n_macro_steps=2, env_chunk=4,
         )
+
+
+def test_score_trajectory_recording(cfg, agent, params, lut):
+    """record_traj: per-macro-step fleet-mean score series — monotone x-grid
+    for the reference-recording comparison (scripts/score_vs_reference.py).
+    Chunked dispatches concatenate to the full length and the final
+    trajectory point equals the final score_mean."""
+    out = sweep_lib.run_sweep(
+        agent, cfg, params, lut, jax.random.key(5), n_envs=32,
+        method="random", n_macro_steps=12, chunk=5, jumps=5,
+        record_traj=True,
+    )
+    traj = np.asarray(out["score_traj"])
+    assert traj.shape == (12,)
+    np.testing.assert_allclose(traj[-1], float(out["score_mean"]), rtol=1e-5)
+
+    # env_chunk merge: group-mean trajectory, same length.
+    out2 = sweep_lib.run_sweep(
+        agent, cfg, params, lut, jax.random.key(5), n_envs=32,
+        method="random", n_macro_steps=12, chunk=5, jumps=5,
+        record_traj=True, env_chunk=16,
+    )
+    traj2 = np.asarray(out2["score_traj"])
+    assert traj2.shape == (12,)
+    np.testing.assert_allclose(traj2[-1], float(out2["score_mean"]), rtol=1e-5)
