@@ -170,6 +170,11 @@ class Distiller:
         n = self.n_record
         bs = min(cfg.distill_batch, n)
         steps_per_pass = n // bs
+        if cfg.distill_passes < 1 or steps_per_pass < 1:
+            raise ValueError(
+                f"distill phase would take 0 steps (passes="
+                f"{cfg.distill_passes}, records={n}, batch={bs})"
+            )
         params = dict(state.params)
         opt_state = state.opt_states["top"]
         F_first = F_last = match_first = match_last = 0.0
