@@ -32,6 +32,7 @@ import sys
 import time
 
 import jax
+import jax.numpy as jnp
 
 from deep_active_inference_mc_tpu.config import Config
 from deep_active_inference_mc_tpu.envs import dsprites as env_lib
@@ -62,6 +63,9 @@ def main(argv=None):
     agent = ActiveInferenceAgent(
         s_dim=cfg.s_dim, pi_dim=cfg.pi_dim,
         colour_channels=cfg.colour_channels, resolution=cfg.resolution,
+        # --bf16 keeps the collect fleet inside one v5e's HBM: 256-env
+        # expand_k-fused search in f32 compiles to ~15.9G (OOM by ~140M).
+        dtype=jnp.bfloat16 if cfg.bf16 else jnp.float32,
     )
     lut = raster.build_sprite_lut()
     state = train_loop.create_train_state(cfg, agent, jax.random.key(0))
