@@ -57,6 +57,15 @@ def main(argv=None):
     parser.add_argument("--iters", type=int, default=20)
     parser.add_argument("--sweep_every", type=int, default=1,
                         help="Habit-sweep readout cadence (iterations).")
+    parser.add_argument("--keep_opt", action="store_true",
+                        help="Keep the checkpoint's top Adam state instead "
+                        "of re-initializing it. Default resets: a long "
+                        "soft-teacher run inflates Adam's second moments "
+                        "with gradient noise, which shrinks the effective "
+                        "distill step to nothing (measured: a run from a "
+                        "weight-only archive climbed +0.24->+0.55 over 20 "
+                        "iters while the same run from the live checkpoint "
+                        "sat flat at +0.265).")
     known, rest = parser.parse_known_args(argv)
     cfg = Config.from_args(rest)
 
@@ -73,9 +82,16 @@ def main(argv=None):
     stats = stats_lib.pad_missing(stats)
     print(f"Loaded {known.network} (epoch {len(stats['F'])})", flush=True)
 
-    distiller = Distiller(
-        agent, cfg, lut, train_loop.make_optimizers(cfg)["top"]
-    )
+    top_opt = train_loop.make_optimizers(cfg)["top"]
+    if not known.keep_opt:
+        state = state.replace(opt_states={
+            **state.opt_states,
+            "top": top_opt.init(state.params["top"]),
+        })
+        print("Reset top optimizer state (pass --keep_opt to retain)",
+              flush=True)
+
+    distiller = Distiller(agent, cfg, lut, top_opt)
     # Paired behavioral readout: fixed PRNG + fixed initial envs, exactly
     # like the trainer's per-epoch series (apps/train.py) so scores are
     # comparable with the training log.
