@@ -54,6 +54,22 @@ def main(argv=None):
                         "--samples 10).")
     parser.add_argument("--mcts_repeats", type=int, default=50)
     parser.add_argument("--mcts_depth", type=int, default=3)
+    parser.add_argument("--mcts_c", type=float, default=1.0,
+                        help="Exploration constant C (reference "
+                        "mcts.py:139 default 1.0).")
+    parser.add_argument("--mcts_prior_explore", action="store_true",
+                        help="Weight the selection bonus by the habit "
+                        "prior Q(pi|s) — the reference's "
+                        "using_prior_for_exploration mode "
+                        "(mcts.py:43-44, default off there too). "
+                        "Pays off once the habit net is distilled.")
+    parser.add_argument("--mcts_habit", action="store_true",
+                        help="Phase-A habit short-circuit (reference "
+                        "use_habit, mcts.py:166-170): skip the search "
+                        "when habit confidence exceeds --mcts_threshold.")
+    parser.add_argument("--mcts_threshold", type=float, default=0.5,
+                        help="Phase A/B decision confidence threshold "
+                        "(reference mcts.py:140).")
     parser.add_argument("--mcts_crn", action="store_true",
                         help="Common random numbers across actions in node "
                         "expansions (unfused evaluator only).")
@@ -115,6 +131,9 @@ def main(argv=None):
     mcts_params = MCTSParams(
         repeats=args.mcts_repeats, simulation_depth=args.mcts_depth,
         max_depth=16, fused_eval=args.mcts_fused, crn=args.mcts_crn,
+        C=args.mcts_c, threshold=args.mcts_threshold,
+        using_prior_for_exploration=args.mcts_prior_explore,
+        use_habit=args.mcts_habit,
     )
     t0 = time.time()
     if args.mcts_bucketed:
