@@ -108,6 +108,7 @@ class Demo:
             use_habit=not args.no_habit,
             use_means=True,
             fused_eval=getattr(args, "fused", False),
+            using_prior_for_exploration=getattr(args, "prior_explore", False),
         )
         self._planner = mcts_lib.make_jit_planner(
             agent, mcts_params, collect_paths=True
@@ -319,6 +320,7 @@ def make_fused_round(agent, method: str, args, lut):
         use_habit=not args.no_habit,
         use_means=True,
         fused_eval=getattr(args, "fused", False),
+        using_prior_for_exploration=getattr(args, "prior_explore", False),
     )
     jumps, steps, temp = args.jumps, args.steps, args.temperature
     maxq = max(mcts_params.max_depth * jumps, steps * jumps, steps)
@@ -523,6 +525,10 @@ def main(argv=None):
                         help="Record --duration frames to this gif "
                         "(reference dsprites.gif analogue) instead of "
                         "opening a display.")
+    parser.add_argument("--prior_explore", action="store_true",
+                        help="Habit-prior-weighted selection bonus — the "
+                        "reference's using_prior_for_exploration "
+                        "(mcts.py:43-44,148; default off there too).")
     parser.add_argument("--fused", action="store_true",
                         help="Mega-batched MCTS expand+simulate evaluator "
                         "(fewer dispatches per planner iteration).")
