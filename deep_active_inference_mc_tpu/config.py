@@ -68,6 +68,15 @@ class Config:
     # classic rare-event underfitting. 0 = reference semantics
     # (uniform posY, game_environment.py:70).
     edge_frac: float = 0.0
+    # Behavior-policy habit mixing: sample the executed action from
+    # (1-p)*P_act + p*Q(pi|s_habit). Once the habit net is distilled from
+    # the planner (apps/distill.py), its policy scores squares-LEFT
+    # correctly while the softmax(-G) prior is near chance on square
+    # direction (round-4 probe: mcts score_sq +0.07/env vs score_other
+    # +1.23) — mixing it in is the only way square-LEFT scoring
+    # transitions reach the mid/down losses at learnable frequency.
+    # The top-loss target stays the pure prior. 0 = reference semantics.
+    gen_habit_mix: float = 0.0
 
     # --- MCTS-visit distillation (train/distill.py; no reference analogue).
     # Every distill_every epochs, a jitted MCTS fleet (distill_envs envs x
@@ -106,6 +115,13 @@ class Config:
     # grad-norm instrumentation to diagnose/bound the rare ~30% F spikes
     # seen at batch 512 (train512.log epochs 1372/1389).
     clip_grad: float = 0.0
+    # Freeze the habit net: F_top and its on-policy KL (the omega input)
+    # are still computed, but the top Adam update is skipped. Protects a
+    # planner-distilled habit (apps/distill.py) from being dragged back
+    # toward the noisier softmax(-G) teacher while the mid/down nets keep
+    # learning from habit-mixed on-policy data (gen_habit_mix). 0/False =
+    # reference semantics.
+    freeze_top: bool = False
 
     # --- training volume (train.py:20,47-49) ---
     batch: int = 50

@@ -30,6 +30,8 @@ from deep_active_inference_mc_tpu.infer import efe
 from deep_active_inference_mc_tpu.infer.agent import ActiveInferenceAgent, Params
 from deep_active_inference_mc_tpu.ops import math as m
 
+stop = jax.lax.stop_gradient
+
 
 def pin_edge_fraction(
     key: jax.Array, env: env_lib.EnvState, frac: float
@@ -94,6 +96,14 @@ def make_batch_active_inference(
     P_act = Ppi
     if cfg.explore_eps > 0.0:
         P_act = (1.0 - cfg.explore_eps) * Ppi + cfg.explore_eps / agent.pi_dim
+    if cfg.gen_habit_mix > 0.0:
+        # Habit-mixed behavior policy (cfg.gen_habit_mix doc): lets a
+        # distilled habit steer part of the fleet so its scoring
+        # transitions (notably square-LEFT) enter the mid/down batches.
+        q_pi_habit = stop(agent.habitual_net(params, o0))
+        P_act = (
+            (1.0 - cfg.gen_habit_mix) * P_act + cfg.gen_habit_mix * q_pi_habit
+        )
     actions = jax.random.categorical(k_act, jnp.log(P_act + 1e-20), axis=-1)
     pi0 = jax.nn.one_hot(actions, agent.pi_dim, dtype=jnp.float32)
 

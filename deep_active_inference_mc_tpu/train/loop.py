@@ -114,8 +114,15 @@ def train_round(
     (_, (F_top, kl_pi, _)), g_top = jax.value_and_grad(top_loss, has_aux=True)(
         params["top"]
     )
-    upd, opt_top = opts["top"].update(g_top, state.opt_states["top"], params["top"])
-    new_top = optax.apply_updates(params["top"], upd)
+    if cfg.freeze_top:
+        # kl_pi (the omega input below) is still the live habit-vs-prior
+        # KL; only the parameter update is withheld (cfg.freeze_top doc).
+        new_top, opt_top = params["top"], state.opt_states["top"]
+    else:
+        upd, opt_top = opts["top"].update(
+            g_top, state.opt_states["top"], params["top"]
+        )
+        new_top = optax.apply_updates(params["top"], upd)
 
     # -- omega from the pre-update top KL (train.py:116-119).
     omega = stop(omega_params(kl_pi)).reshape(-1, 1)

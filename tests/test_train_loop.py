@@ -82,6 +82,66 @@ def test_train_round_runs_and_updates(cfg, agent, lut):
         assert max(jax.tree.leaves(diffs)) > 0, layer
 
 
+def test_freeze_top_withholds_only_the_top_update(agent, lut):
+    cfg = Config(batch=8, rounds=2, test_size=16, freeze_top=True)
+    state = train_loop.create_train_state(cfg, agent, jax.random.key(0))
+    step = train_loop.make_jit_train_round(agent, cfg, lut)
+    old_params = jax.tree.map(lambda x: np.asarray(x).copy(), state.params)
+    old_opt_top = jax.tree.map(
+        lambda x: np.asarray(x).copy(), state.opt_states["top"]
+    )
+    state, metrics = step(state, jax.random.key(1))
+    # omega still flows from the live habit KL.
+    assert np.isfinite(float(metrics["kl_pi"]))
+    assert np.isfinite(float(metrics["omega"]))
+    # top params AND top Adam state are bit-frozen; mid/down still move.
+    for tree_new, tree_old in (
+        (state.params["top"], old_params["top"]),
+        (state.opt_states["top"], old_opt_top),
+    ):
+        diffs = jax.tree.map(
+            lambda a, b: float(np.abs(np.asarray(a, dtype=np.float64)
+                                      - np.asarray(b, dtype=np.float64)).max()),
+            tree_new, tree_old,
+        )
+        assert max(jax.tree.leaves(diffs)) == 0.0
+    for layer in ("mid", "down"):
+        diffs = jax.tree.map(
+            lambda a, b: float(np.abs(np.asarray(a) - b).max()),
+            state.params[layer], old_params[layer],
+        )
+        assert max(jax.tree.leaves(diffs)) > 0, layer
+
+
+def test_gen_habit_mix_changes_behavior_not_target(agent, lut):
+    """gen_habit_mix reshapes the executed-action distribution while the
+    top-loss target log_Ppi stays the pure softmax(-G) prior."""
+    from deep_active_inference_mc_tpu.envs import dsprites as env_lib
+    from deep_active_inference_mc_tpu.envs.data import (
+        make_batch_active_inference,
+    )
+
+    params = agent.init(jax.random.key(0))
+    key = jax.random.key(3)
+    env = env_lib.reset(jax.random.key(4), 64)
+
+    def run(mix):
+        cfg = Config(batch=64, gen_habit_mix=mix)
+        return make_batch_active_inference(agent, cfg, params, key, env, lut)
+
+    _, o0_a, _, pi0_a, logp_a = run(0.0)
+    _, o0_b, _, pi0_b, logp_b = run(1.0)
+    # Same PRNG + envs: identical o0 and identical top-loss target.
+    np.testing.assert_array_equal(np.asarray(o0_a), np.asarray(o0_b))
+    np.testing.assert_allclose(
+        np.asarray(logp_a), np.asarray(logp_b), rtol=1e-6
+    )
+    # mix=1.0 samples from the habit distribution — with the same action
+    # key, at least one of 64 envs picks a different action unless the two
+    # policies are identical (they are not for random init).
+    assert np.abs(np.asarray(pi0_a) - np.asarray(pi0_b)).max() > 0
+
+
 def test_epoch_scan_and_gamma_anneal(cfg, agent, lut):
     state = train_loop.create_train_state(cfg, agent, jax.random.key(0))
     epoch_fn = train_loop.make_jit_epoch(agent, cfg, lut, rounds=2)
