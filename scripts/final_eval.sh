@@ -40,7 +40,7 @@ AI_CHUNK=${AI_CHUNK:-1024}
 MCTSB_ENVS=${MCTSB_ENVS:-512}     # bucketed planner affords 2x the envs
                                   # at ~16min (1024 would be ~32min)
 
-for METHOD in random expert habit ai ai_crn t1 t12 ai_ref mcts mcts_bucketed; do
+for METHOD in random expert habit ai ai_crn t1 t12 ai_ref mcts mcts_c2 mcts_bucketed; do
   EXTRA=""
   N=$ENVS
   M=$METHOD
@@ -58,6 +58,13 @@ for METHOD in random expert habit ai ai_crn t1 t12 ai_ref mcts mcts_bucketed; do
     # per-decision FLOPs of the 1-step mean row, so a narrower fleet.
     ai_ref) M=ai; EXTRA="--steps 10 --samples 10 --sample_G"; N=128; TMO=3600 ;;
     mcts)   EXTRA="--mcts_repeats $MCTS_REPEATS --mcts_fused --bf16 --chunk 8"
+            N=$MCTS_ENVS; TMO=1800 ;;
+    # Tuned exploration constant at the same budget (round-4 probe:
+    # C=2 +1.511 vs C=1 +1.294 at 128 envs; prior-weighted selection
+    # adds nothing over plain C=2). Reference default stays C=1.
+    mcts_c2)
+            M=mcts
+            EXTRA="--mcts_repeats $MCTS_REPEATS --mcts_fused --bf16 --chunk 8 --mcts_c 2.0"
             N=$MCTS_ENVS; TMO=1800 ;;
     mcts_bucketed)
             # Batch-compaction planner (plan/mcts.py:make_bucketed_planner):
