@@ -40,7 +40,11 @@ AI_CHUNK=${AI_CHUNK:-1024}
 MCTSB_ENVS=${MCTSB_ENVS:-512}     # bucketed planner affords 2x the envs
                                   # at ~16min (1024 would be ~32min)
 
-for METHOD in random expert habit ai ai_crn t1 t12 ai_ref mcts mcts_c2 mcts_bucketed; do
+# METHODS override lets a time-bounded session run priority rows first
+# (results are order-independent: every row is a fresh process at --seed 0).
+METHODS=${METHODS:-random expert habit ai ai_crn t1 t12 ai_ref mcts mcts_c2 mcts_bucketed}
+
+for METHOD in $METHODS; do
   EXTRA=""
   N=$ENVS
   M=$METHOD
@@ -81,4 +85,6 @@ for METHOD in random expert habit ai ai_crn t1 t12 ai_ref mcts mcts_c2 mcts_buck
     -n "$CKPT" --method $M --envs $N --macro $MACRO --jumps 5 --seed 0 $EXTRA
 done
 
-run_with_retry "bench" 1200 python bench.py
+if [ "${RUN_BENCH:-1}" = 1 ]; then
+  run_with_retry "bench" 1200 python bench.py
+fi

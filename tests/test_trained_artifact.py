@@ -18,11 +18,21 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-ARTIFACT = Path(__file__).parent.parent / "artifacts" / "run512" / "checkpoints"
+RUN = Path(__file__).parent.parent / "artifacts" / "run512"
+ARTIFACT = RUN / "checkpoints"
+
+# ``checkpoints_distilled`` is the round-4 MCTS-visit-distilled habit
+# (apps/distill.py) on the same mid/down weights — the best amortized
+# policy artifact (habit sweep +0.9 vs +0.26 for the joint-trainer habit).
+# Both snapshots must encode the task rule; each is skipped when absent.
+CKPTS = [p for p in (ARTIFACT, RUN / "checkpoints_distilled") if p.exists()]
 
 
-@pytest.mark.skipif(not ARTIFACT.exists(), reason="no committed checkpoint")
-def test_habit_edge_policy_encodes_sorting_rule():
+@pytest.mark.skipif(not CKPTS, reason="no committed checkpoint")
+@pytest.mark.parametrize(
+    "artifact", CKPTS, ids=[p.name for p in CKPTS]
+)
+def test_habit_edge_policy_encodes_sorting_rule(artifact):
     from deep_active_inference_mc_tpu.config import Config
     from deep_active_inference_mc_tpu.envs import dsprites as env_lib
     from deep_active_inference_mc_tpu.envs import raster
@@ -33,7 +43,7 @@ def test_habit_edge_policy_encodes_sorting_rule():
     cfg = Config()
     agent = ActiveInferenceAgent(s_dim=cfg.s_dim, pi_dim=cfg.pi_dim)
     state = train_loop.create_train_state(cfg, agent, jax.random.key(0))
-    state, _, _ = ckpt.load_all(ARTIFACT, state)
+    state, _, _ = ckpt.load_all(artifact, state)
     params = state.params
     lut = raster.build_sprite_lut()
 
