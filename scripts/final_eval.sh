@@ -60,7 +60,8 @@ for METHOD in $METHODS; do
     # The reference demo's DEFAULT eval mode for ai agents: sampled
     # estimator, samples=10, steps=10 (test_demo.py:70-77). ~100x the
     # per-decision FLOPs of the 1-step mean row, so a narrower fleet.
-    ai_ref) M=ai; EXTRA="--steps 10 --samples 10 --sample_G"; N=128; TMO=3600 ;;
+    ai_ref) M=ai; EXTRA="--steps 10 --samples 10 --sample_G"
+            N=${AIREF_ENVS:-128}; TMO=3600 ;;
     mcts)   EXTRA="--mcts_repeats $MCTS_REPEATS --mcts_fused --bf16 --chunk 8"
             N=$MCTS_ENVS; TMO=1800 ;;
     # Tuned exploration constant at the same budget (round-4 probe:
