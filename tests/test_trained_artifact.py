@@ -36,10 +36,6 @@ import jax
 import jax.numpy as jnp
 
 RUN = Path(__file__).parent.parent / "artifacts" / "run512"
-CKPTS = [
-    p for p in (RUN / "checkpoints", RUN / "checkpoints_distilled")
-    if p.exists()
-]
 
 
 def _edge_policy(artifact):
