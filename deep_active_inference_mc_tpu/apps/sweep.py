@@ -160,8 +160,12 @@ def main(argv=None):
     out = jax.device_get(out)
     dt = time.time() - t0
     frames = args.envs * args.macro * args.jumps
+    # Self-describing eval rows (VERDICT r4 ask #2): every result line
+    # quotes the checkpoint it evaluated, so committed eval logs are
+    # reproducible without reverse-engineering per-class magnitudes.
     print(
-        f"method={args.method} envs={args.envs} macro={args.macro} "
+        f"method={args.method} ckpt={args.network or 'untrained'} "
+        f"seed={args.seed} envs={args.envs} macro={args.macro} "
         f"score: {float(out['score_mean']):.3f} +- {float(out['score_sem']):.3f} "
         f"(std {float(out['score_std']):.3f}, min {float(out['score_min']):.2f}, "
         f"max {float(out['score_max']):.2f}) "

@@ -315,7 +315,9 @@ def main(argv=None):
                 f"omega: {stats['omega'][-1]:.2f}+-{stats['omega_std'][-1]:.2f}, "
                 f"KLpi: {stats['kl_div_pi'][-1]:.2f}, TC: {stats['TC'][-1]:.2f}, "
                 f"score: {stats['score'][-1]:.2f} "
-                f"(h {stats['train_scores_habit_m'][-1]:.2f}), "
+                f"(h {stats['train_scores_habit_m'][-1]:.2f}, "
+                f"sq {stats['train_scores_sq'][-1]:+.2f}/"
+                f"oth {stats['train_scores_other'][-1]:+.2f}), "
                 f"edge: h {stats['edge_habit_correct'][-1] - stats['edge_habit_wrong'][-1]:+.3f} "
                 f"g {stats['edge_g_correct'][-1] - stats['edge_g_wrong'][-1]:+.3f}, "
                 f"gn: {stats['gnorm_top'][-1]:.1f}/{stats['gnorm_mid'][-1]:.1f}/"

@@ -27,4 +27,6 @@ ls "$RUN"/imagination_*.png 2>/dev/null | tail -1 | xargs -r -I{} cp {} "$DST/"
 ls "$RUN"/reward_imagination_*.png 2>/dev/null | tail -1 | xargs -r -I{} cp {} "$DST/"
 EPOCH=$(grep -c . train512.log 2>/dev/null || echo "?")
 git add -A "$DST"
-git commit -q -m "training snapshot: $(grep -P '^\d+, F:' train512.log | tail -1 | cut -c1-120)" || echo "nothing to commit"
+# Pathspec commit: never sweep unrelated staged files into the snapshot
+# (the watchdog now runs this on a cadence, concurrent with other work).
+git commit -q -m "training snapshot: $(grep -P '^\d+, F:' train512.log | tail -1 | cut -c1-120)" -- "$DST" || echo "nothing to commit"

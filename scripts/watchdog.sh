@@ -17,10 +17,22 @@ LOG=${LOG:-train512.log}
 PIDFILE=${PIDFILE:-/tmp/train512.pid}
 CMDFILE=${CMDFILE:-/tmp/train512.cmd}
 DEFAULT_CMD="python -m deep_active_inference_mc_tpu.apps.train --resume --batch 512 --rounds 1000 --epochs 3000 --viz_every 25 --archive_every 50"
+# Checkpoint durability (VERDICT r4 ask #2): snapshot the newest immutable
+# checkpoint archive into git-tracked artifacts/ on a cadence, so a round
+# never again strands its headline weights in the gitignored runs/ dir.
+SNAP_EVERY=${SNAP_EVERY:-3600}
+LAST_SNAP=$(date +%s)
 while true; do
   sleep 60
   [ -f "$PIDFILE" ] || continue
   PID=$(cat "$PIDFILE")
+  if ps -p "$PID" >/dev/null 2>&1; then
+    NOW=$(date +%s)
+    if [ $(( NOW - LAST_SNAP )) -ge "$SNAP_EVERY" ]; then
+      bash scripts/snapshot_ckpt.sh >> watchdog.log 2>&1 || true
+      LAST_SNAP=$NOW
+    fi
+  fi
   ps -p "$PID" >/dev/null 2>&1 || continue
   AGE=$(( $(date +%s) - $(stat -c %Y "$LOG") ))
   if [ "$AGE" -gt "$THRESH" ]; then
