@@ -50,11 +50,20 @@ class TrainState:
 
 
 def make_optimizers(cfg: Config) -> Dict[str, optax.GradientTransformation]:
-    """One Adam per layer (train.py:44-46,89-94)."""
+    """One Adam per layer (train.py:44-46,89-94), optionally preceded by
+    global-norm clipping (cfg.clip_grad > 0; off = reference semantics)."""
+
+    def chain(lr):
+        if cfg.clip_grad and cfg.clip_grad > 0.0:
+            return optax.chain(
+                optax.clip_by_global_norm(cfg.clip_grad), optax.adam(lr)
+            )
+        return optax.adam(lr)
+
     return {
-        "top": optax.adam(cfg.l_rate_top),
-        "mid": optax.adam(cfg.l_rate_mid),
-        "down": optax.adam(cfg.l_rate_down),
+        "top": chain(cfg.l_rate_top),
+        "mid": chain(cfg.l_rate_mid),
+        "down": chain(cfg.l_rate_down),
     }
 
 
@@ -105,8 +114,15 @@ def train_round(
     (_, (F_top, kl_pi, _)), g_top = jax.value_and_grad(top_loss, has_aux=True)(
         params["top"]
     )
-    upd, opt_top = opts["top"].update(g_top, state.opt_states["top"], params["top"])
-    new_top = optax.apply_updates(params["top"], upd)
+    if cfg.freeze_top:
+        # kl_pi (the omega input below) is still the live habit-vs-prior
+        # KL; only the parameter update is withheld (cfg.freeze_top doc).
+        new_top, opt_top = params["top"], state.opt_states["top"]
+    else:
+        upd, opt_top = opts["top"].update(
+            g_top, state.opt_states["top"], params["top"]
+        )
+        new_top = optax.apply_updates(params["top"], upd)
 
     # -- omega from the pre-update top KL (train.py:116-119).
     omega = stop(omega_params(kl_pi)).reshape(-1, 1)
@@ -162,6 +178,12 @@ def train_round(
         "omega_std": omega.std(),
         "kl_pi": kl_pi.mean(),
         "score": env.score.mean(),
+        # Per-round gradient global norms (spike diagnosis — the reference
+        # has no grad observability at all; train512.log epochs 1372/1389
+        # showed unexplained ~30% F excursions at batch 512).
+        "gnorm_top": optax.global_norm(g_top),
+        "gnorm_mid": optax.global_norm(g_mid),
+        "gnorm_down": optax.global_norm(g_down),
     }
     return new_state, metrics
 
@@ -190,7 +212,12 @@ def make_epoch_fn(
         state, metrics = jax.lax.scan(
             round_fn, state, jax.random.split(key, rounds)
         )
-        return state, jax.tree.map(lambda x: x[-1], metrics)
+        out = jax.tree.map(lambda x: x[-1], metrics)
+        # Worst-round series: a spike inside the epoch is invisible in
+        # last-round metrics; these bound it.
+        for k in ("gnorm_top", "gnorm_mid", "gnorm_down", "F_down"):
+            out[k + "_max"] = metrics[k].max()
+        return state, out
 
     return epoch
 

@@ -141,6 +141,14 @@ def main(argv=None):
     )
     decode_fn = jax.jit(lambda p, s: agent.decode(p, s))
 
+    distiller = None
+    if cfg.distill_every > 0:
+        from deep_active_inference_mc_tpu.train.distill import Distiller
+
+        distiller = Distiller(
+            agent, cfg, lut, train_loop.make_optimizers(cfg)["top"]
+        )
+
     # FIXED sweep PRNG + envs: the per-epoch score series is paired across
     # epochs (same initial envs, same noise stream — differences come from
     # params only), so learning is visible above sweep noise (VERDICT r2
@@ -184,6 +192,25 @@ def main(argv=None):
                 train_metrics = jax.tree.map(float, jax.device_get(train_metrics))
             env_sps = cfg.batch * cfg.repeats * cfg.rounds / (time.time() - epoch_t0)
 
+            # MCTS-visit distillation phase (train/distill.py): sharpen the
+            # habit net against planner root visits every distill_every
+            # epochs. Runs before the checkpoint so distilled params persist.
+            dmetrics = {}
+            if distiller is not None and epoch % cfg.distill_every == 0:
+                key, k_distill = jax.random.split(key)
+                d_t0 = time.time()
+                state, dmetrics = distiller(state, k_distill)
+                print(
+                    f"  distill@{epoch}: kl {dmetrics['distill_kl_first']:.3f}"
+                    f"->{dmetrics['distill_kl_last']:.3f}, match "
+                    f"{dmetrics['distill_match_first']:.2f}->"
+                    f"{dmetrics['distill_match_last']:.2f}, target H "
+                    f"{dmetrics['distill_target_entropy']:.3f}, "
+                    f"{dmetrics['distill_steps']:.0f} steps, "
+                    f"{time.time() - d_t0:.1f}s",
+                    flush=True,
+                )
+
             # Checkpoint/stat/viz writes are process-0-only on multi-host
             # meshes (every host computes identically; one writes).
             if primary and epoch % cfg.save_every == 0:
@@ -226,6 +253,14 @@ def main(argv=None):
             stats["current_lr"].append(cfg.l_rate_down)
             stats["mse_r"].append(float(ev["mse_r"]))
             stats["deep_mse_o"].append(float(ev["deep_mse_o"]))
+            for k in ("gnorm_top", "gnorm_mid", "gnorm_down"):
+                stats[k].append(train_metrics[k])
+                stats[k + "_max"].append(train_metrics[k + "_max"])
+            stats["F_down_round_max"].append(train_metrics["F_down_max"])
+            for k in ("distill_kl_first", "distill_kl_last",
+                      "distill_match_first", "distill_match_last",
+                      "distill_target_entropy"):
+                stats[k].append(float(dmetrics.get(k, 0.0)))
 
             sc = jax.device_get(score_fn(state.params, k_sw, sweep_env))
             sc_h = jax.device_get(
@@ -280,9 +315,15 @@ def main(argv=None):
                 f"omega: {stats['omega'][-1]:.2f}+-{stats['omega_std'][-1]:.2f}, "
                 f"KLpi: {stats['kl_div_pi'][-1]:.2f}, TC: {stats['TC'][-1]:.2f}, "
                 f"score: {stats['score'][-1]:.2f} "
-                f"(h {stats['train_scores_habit_m'][-1]:.2f}), "
+                f"(h {stats['train_scores_habit_m'][-1]:.2f}, "
+                f"sq {stats['train_scores_sq'][-1]:+.2f}/"
+                f"oth {stats['train_scores_other'][-1]:+.2f}), "
                 f"edge: h {stats['edge_habit_correct'][-1] - stats['edge_habit_wrong'][-1]:+.3f} "
                 f"g {stats['edge_g_correct'][-1] - stats['edge_g_wrong'][-1]:+.3f}, "
+                f"gn: {stats['gnorm_top'][-1]:.1f}/{stats['gnorm_mid'][-1]:.1f}/"
+                f"{stats['gnorm_down'][-1]:.1f} "
+                f"(max {stats['gnorm_top_max'][-1]:.0f}/{stats['gnorm_mid_max'][-1]:.0f}/"
+                f"{stats['gnorm_down_max'][-1]:.0f}, Fd^ {stats['F_down_round_max'][-1]:.0f}), "
                 f"env_steps/s: {env_sps:.2e}, "
                 f"dur. {time.time() - start_time:.2f}s",
                 flush=True,
