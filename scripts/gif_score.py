@@ -145,11 +145,26 @@ def decode_number(bm: np.ndarray, templates: dict):
         return None
 
 
-def decode_gif(gif: Path = GIF):
+def load_pixel_templates() -> dict:
+    """Templates for THIS rebuild's ``--record_ref`` recordings: the demo
+    paints its score overlay with the deterministic pixel font in
+    ``viz/scoretext.py`` (this freetype's matplotlib glyphs split/merge
+    under the 220 threshold, so the reference's template set cannot apply
+    to locally rendered text). Renderer and decoder share one font table,
+    and a recording's decode is verifiable against the exact score trace
+    the demo saves alongside (``<gif>.scores.npz``)."""
+    sys.path.insert(0, str(Path(__file__).parent.parent))
+    from deep_active_inference_mc_tpu.viz import scoretext
+
+    return {ch: t.astype(np.uint8) for ch, t in scoretext.templates().items()}
+
+
+def decode_gif(gif: Path = GIF, templates: dict | None = None):
     """Per-frame score array (NaN where undecodable) + clean mask."""
     from PIL import Image
 
-    templates = load_templates()
+    if templates is None:
+        templates = load_templates()
     im = Image.open(gif)
     scores = np.full(im.n_frames, np.nan)
     clean = np.zeros(im.n_frames, bool)
@@ -173,9 +188,18 @@ def decode_gif(gif: Path = GIF):
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--out", type=Path, default=Path("tests/data/gif_scores.npz"))
+    p.add_argument("--gif", type=Path, default=GIF,
+                   help="Recording to decode (default: the reference's "
+                   "dsprites.gif). Pass a demo --record_ref artifact to "
+                   "score this rebuild by the same decoder.")
+    p.add_argument("--pixel_font", action="store_true",
+                   help="Match against the rebuild's pixel-font templates "
+                   "(viz/scoretext.py) instead of the reference recording's "
+                   "matplotlib glyph set. Use for --record_ref gifs.")
     args = p.parse_args(argv)
 
-    scores, clean = decode_gif()
+    templates = load_pixel_templates() if args.pixel_font else None
+    scores, clean = decode_gif(args.gif, templates)
     n = len(scores)
     known = ~np.isnan(scores)
     print(f"{n} frames: {clean.sum()} decoded exactly, "
