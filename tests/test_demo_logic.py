@@ -79,6 +79,7 @@ def test_frame_overlay(demo):
 
 
 @pytest.mark.parametrize("method", ["habit", "ai", "mcts"])
+@pytest.mark.slow
 def test_fused_round_runs_and_keeps_score(method):
     """The fused on-device round (run_headless fast path) preserves the
     demo's round semantics: randomize keeps score, the plan queue drains
@@ -112,6 +113,7 @@ def test_fused_round_runs_and_keeps_score(method):
     assert float(jnp.abs(env2.score[0] - 3.25)) < 20.0
 
 
+@pytest.mark.slow
 def test_run_interactive_smoke(demo, monkeypatch):
     """Drive the actual matplotlib event loop (run_interactive) under Agg
     with synthesized key events: mode switches, a manual action, and the
@@ -146,6 +148,7 @@ def test_run_interactive_smoke(demo, monkeypatch):
     assert demo.temperature == t0 + 5.0  # '9' raised the softmax temperature
 
 
+@pytest.mark.slow
 def test_run_record_writes_gif(demo, tmp_path):
     """--record produces a multi-frame gif (reference dsprites.gif
     analogue, VERDICT r2 missing #4)."""

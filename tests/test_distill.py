@@ -94,6 +94,7 @@ def test_distill_phase_updates_only_top(cfg, agent, lut):
     assert 0.0 <= metrics["distill_target_entropy"] <= np.log(4.0) + 1e-6
 
 
+@pytest.mark.slow
 def test_distill_converges_toward_targets(cfg, agent, lut):
     """Many passes over one small recorded set must drive F_top (the KL to
     the visit targets) down — distillation actually trains."""

@@ -108,6 +108,7 @@ def _oracle_tile(s0, pi_one_hot):
     return s_rows, pi_rows
 
 
+@pytest.mark.slow
 def test_G_4_rows_equal_explicit_oracle_mean(agent, params):
     """Numeric layout parity (VERDICT r2 weak #3): calculate_G_4_repeated's
     internal tiling, replayed with the SAME key against an explicitly
@@ -142,6 +143,7 @@ def test_G_4_rows_equal_explicit_oracle_mean(agent, params):
     assert np.abs(np.asarray(G) - scrambled).max() > 1.0
 
 
+@pytest.mark.slow
 def test_G_4_rows_equal_explicit_oracle_sampled(agent, params):
     """Same layout proof for the sampled estimator path (calc_mean=False)."""
     B = 2
@@ -165,6 +167,7 @@ def test_G_4_rows_equal_explicit_oracle_sampled(agent, params):
     )
 
 
+@pytest.mark.slow
 def test_trainer_tiled_path_rows_equal_explicit_oracle(agent, params):
     """The trainer's data-gen layout (envs/data.py:52-57): o repeated 4x +
     tiled one-hots through calculate_G_repeated equals the explicit
@@ -201,6 +204,7 @@ def test_trainer_tiled_path_rows_equal_explicit_oracle(agent, params):
     np.testing.assert_allclose(np.asarray(Ppi.sum(-1)), 1.0, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_mcts_expand_rows_equal_explicit_oracle(agent, params):
     """plan.mcts._expand_G's (B, 4) reshape obeys the same layout contract."""
     from deep_active_inference_mc_tpu.plan import mcts as mcts_lib
@@ -249,6 +253,7 @@ def test_mcts_step_simulate(agent, params):
     np.testing.assert_allclose(np.asarray(q_pi_root.sum(-1)), 1.0, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_efe_statistics_mc_convergence(agent, params):
     """More MC samples must reduce the variance of the G estimate."""
     B = 2
@@ -300,6 +305,7 @@ def test_crn_columns_equal_single_action_path(agent, params):
             )
 
 
+@pytest.mark.slow
 def test_crn_variance_reduction_of_action_differences(agent, params):
     """The point of CRN: across keys, the *difference* G(a0)-G(a1) has far
     lower variance than under the independent-noise tiled estimator, while

@@ -308,6 +308,7 @@ def test_stochastic_selection_modes(monkeypatch):
     assert len(set(first_actions)) > 1, first_actions
 
 
+@pytest.mark.slow
 def test_real_agent_end_to_end_planner():
     """The planner must run with the real agent nets under jit."""
     from deep_active_inference_mc_tpu.infer.agent import ActiveInferenceAgent
@@ -325,6 +326,7 @@ def test_real_agent_end_to_end_planner():
     assert np.all(np.asarray(res.root_N).sum(-1) >= 4)
 
 
+@pytest.mark.slow
 def test_fused_eval_statistics_match_unfused():
     """The fused mega-batched expand+simulate evaluator computes the same
     estimators as _expand_G + efe.mcts_step_simulate: over many keys the MC
@@ -380,6 +382,7 @@ def test_fused_eval_statistics_match_unfused():
     close_in_sem(Qf, Qu)  # leaf habit prior
 
 
+@pytest.mark.slow
 def test_fused_planner_end_to_end():
     """fused_eval planner: runs under jit, counts depth-cap binds, and
     produces a sane tree (root fully seeded, paths well-formed)."""
@@ -438,6 +441,7 @@ def test_expand_k_virtual_loss_mechanics(monkeypatch, seed):
     assert ch.max() < ch.shape[1]
 
 
+@pytest.mark.slow
 def test_expand_k_real_agent_fused():
     """expand_k + fused_eval on the real nets under jit."""
     from deep_active_inference_mc_tpu.infer.agent import ActiveInferenceAgent
@@ -453,6 +457,7 @@ def test_expand_k_real_agent_fused():
     assert np.all(np.isfinite(np.asarray(res.all_paths_G))) if res.all_paths_G is not None else True
 
 
+@pytest.mark.slow
 def test_crn_expand_planner_end_to_end():
     """CRN expansion (MCTSParams.crn): runs under jit with the real nets;
     per-column parity with the single-action estimator; fused+crn rejected."""

@@ -11,6 +11,8 @@ Slow (two fresh interpreters compile the round on one host core), so not
 in the smoke tier; the script is also runnable standalone.
 """
 
+import pytest
+
 import pathlib
 import subprocess
 import sys
@@ -18,6 +20,7 @@ import sys
 SCRIPT = pathlib.Path(__file__).parent.parent / "scripts" / "multihost_smoke.py"
 
 
+@pytest.mark.slow
 def test_two_process_initialize_and_sharded_round():
     out = subprocess.run(
         [sys.executable, str(SCRIPT)],

@@ -23,6 +23,7 @@ def test_eight_devices_available():
     assert jax.device_count() >= 8  # conftest spoofing must be active
 
 
+@pytest.mark.slow
 def test_sharded_train_round(lut):
     n = 8
     cfg = Config(batch=2 * n, rounds=1, test_size=n, samples=1)
@@ -49,12 +50,14 @@ def test_sharded_train_round(lut):
     assert len(state.env.latents.sharding.device_set) == n
 
 
+@pytest.mark.slow
 def test_graft_dryrun_entry():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
 
 
+@pytest.mark.slow
 def test_sharded_matches_single_device(lut):
     """Data-parallel must be numerically equivalent to single-device
     execution for the same PRNG keys (pure SPMD, no algorithmic change)."""
@@ -83,6 +86,7 @@ def test_sharded_matches_single_device(lut):
     np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=5e-5)
 
 
+@pytest.mark.slow
 def test_determinism_fixed_keys(lut):
     """Same PRNG key -> bitwise-identical round outputs (explicit-rng design,
     SURVEY.md §7 'stochasticity under jit')."""
@@ -105,6 +109,7 @@ def test_determinism_fixed_keys(lut):
     np.testing.assert_array_equal(outs[0][2], outs[1][2])
 
 
+@pytest.mark.slow
 def test_tensor_parallel_matches_single_device(lut):
     """dp x tp (4x2 mesh, Megatron column/row Dense splits) must match
     single-device training numerically: same F metrics, and parameter
@@ -153,6 +158,7 @@ def test_tensor_parallel_matches_single_device(lut):
     assert max(jax.tree.leaves(diffs)) < 3e-4
 
 
+@pytest.mark.slow
 def test_multihost_wiring_single_host():
     """Multi-host path (SURVEY §2.10 stretch): the single-host invocation is
     a no-op, is_primary() is true, and a missing coordinator is rejected

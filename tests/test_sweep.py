@@ -56,6 +56,7 @@ def test_model_methods_run(cfg, agent, params, lut):
         assert out["scores"].shape == (16,)
 
 
+@pytest.mark.slow
 def test_mcts_method_runs(cfg, agent, params, lut):
     out = sweep_lib.run_sweep(
         agent, cfg, params, lut, jax.random.key(3), n_envs=4,
@@ -65,6 +66,7 @@ def test_mcts_method_runs(cfg, agent, params, lut):
     assert np.isfinite(float(out["score_mean"]))
 
 
+@pytest.mark.slow
 def test_sweep_on_mesh(cfg, agent, params, lut):
     mesh = mesh_lib.make_mesh(8)
     out = sweep_lib.run_sweep(
@@ -74,6 +76,7 @@ def test_sweep_on_mesh(cfg, agent, params, lut):
     assert np.isfinite(float(out["score_mean"]))
 
 
+@pytest.mark.slow
 def test_env_chunked_sweep_matches_stats(cfg, agent, params, lut, monkeypatch):
     """env_chunk groups are exact (envs are independent): the merged stats
     must be self-consistent and the initial env population identical to the

@@ -1,6 +1,8 @@
 """Flagship-CLI tests: the mesh/bf16 flags are actually reachable from
 ``apps.train.main`` and produce the full artifact set (VERDICT r1 #4/#6)."""
 
+import pytest
+
 import json
 
 import numpy as np
@@ -21,6 +23,7 @@ def test_from_args_parses_mesh_and_bf16():
     assert cfg.viz_every == 2
 
 
+@pytest.mark.slow
 def test_train_cli_mesh_bf16_end_to_end(tmp_path):
     """One epoch through main() on a 4-device (2 dp x 2 tp) mesh with bf16
     compute: trains, evaluates, sweeps, and writes every per-epoch

@@ -82,6 +82,7 @@ def test_train_round_runs_and_updates(cfg, agent, lut):
         assert max(jax.tree.leaves(diffs)) > 0, layer
 
 
+@pytest.mark.slow
 def test_freeze_top_withholds_only_the_top_update(agent, lut):
     cfg = Config(batch=8, rounds=2, test_size=16, freeze_top=True)
     state = train_loop.create_train_state(cfg, agent, jax.random.key(0))
@@ -113,6 +114,7 @@ def test_freeze_top_withholds_only_the_top_update(agent, lut):
         assert max(jax.tree.leaves(diffs)) > 0, layer
 
 
+@pytest.mark.slow
 def test_gen_habit_mix_changes_behavior_not_target(agent, lut):
     """gen_habit_mix reshapes the executed-action distribution while the
     top-loss target log_Ppi stays the pure softmax(-G) prior."""
@@ -142,6 +144,7 @@ def test_gen_habit_mix_changes_behavior_not_target(agent, lut):
     assert np.abs(np.asarray(pi0_a) - np.asarray(pi0_b)).max() > 0
 
 
+@pytest.mark.slow
 def test_epoch_scan_and_gamma_anneal(cfg, agent, lut):
     state = train_loop.create_train_state(cfg, agent, jax.random.key(0))
     epoch_fn = train_loop.make_jit_epoch(agent, cfg, lut, rounds=2)
@@ -172,6 +175,7 @@ def test_eval_pass(cfg, agent, lut):
     assert float(ev["mse_o"]) > 60.0
 
 
+@pytest.mark.slow
 def test_loss_decreases_over_short_training(cfg, agent, lut):
     """Smoke training: 30 rounds must reduce the down loss (pixel NLL)."""
     state = train_loop.create_train_state(cfg, agent, jax.random.key(0))
