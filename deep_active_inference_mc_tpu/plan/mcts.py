@@ -945,23 +945,28 @@ def make_bucketed_planner(
         "depth_capped", "root_N", "root_Qpi",
     )
 
-    # Compaction points are stable across calls at a fixed checkpoint (the
-    # env distribution driving phase-B decisions is stationary), so after
-    # the first call the driver re-checks the done mask ONLY at the
-    # iterations where compaction actually fired — ~4 chunk boundaries
-    # instead of n_iters/check_every, each boundary costing a host-tunnel
-    # round trip. Correctness never depends on the schedule: every check
-    # compacts only as far as the freshly fetched mask allows.
-    _sched = {"points": None}
+    # Check cadence is ADAPTIVE WITHIN one call and stateless ACROSS calls.
+    # (A previous design memoized the first call's compaction iterations
+    # and re-checked only there on later calls; when the warmup key's
+    # searches decided on a different profile than the timed keys' — e.g.
+    # the distilled prior's flatter root visits — later calls could skip
+    # every useful compaction point and run the full budget at full width,
+    # which is how BENCH_r04's B=256 point regressed to half the PLAIN
+    # planner's rate. Adaptivity must not leak across calls.)
+    # Within a call: check every `check_every` iterations; after 2
+    # consecutive checks with no compaction, double the stride (the done
+    # mask is growing slowly — checking costs a host round trip), and reset
+    # it to `check_every` whenever a compaction fires.
 
     def plan(params, key, frames) -> MCTSResult:
         B0 = frames.shape[0]
         A = agent.pi_dim
         plan.bucket_trace = [B0]  # bucket sizes this call (diagnostics)
         gidx = np.arange(B0)  # bucket row -> original env row (-1 = pad)
-        learned = _sched["points"]
         recorded = []
         at_floor = B0 <= min_bucket
+        stride = check_every
+        dry = 0  # consecutive no-compaction checks at the current stride
 
         def next_stop(i):
             # Once the bucket is at min_bucket no further compaction is
@@ -970,12 +975,7 @@ def make_bucketed_planner(
             # decides) instead of paying per-chunk overhead for nothing.
             if at_floor:
                 return n_iters
-            if learned is not None:
-                for pt in learned:
-                    if pt > i:
-                        return min(pt, n_iters)
-                return n_iters
-            return min(i + check_every, n_iters)
+            return min(i + stride, n_iters)
         out = {
             "actions": np.full((B0, p.max_depth), -1, np.int32),
             "lengths": np.zeros((B0,), np.int32),
@@ -1019,6 +1019,14 @@ def make_bucketed_planner(
             new_B = cur_B
             while new_B // 2 >= max(min_bucket, n_active):
                 new_B //= 2
+            if new_B == cur_B:
+                dry += 1
+                if dry >= 2:
+                    stride = min(stride * 2, n_iters)
+                    dry = 0
+            else:
+                stride = check_every
+                dry = 0
             if new_B < cur_B:
                 # Retire the envs known done as of `pending` (frozen since),
                 # reading their final results from `nxt`'s tree state.
@@ -1044,9 +1052,7 @@ def make_bucketed_planner(
             # of the next chunk's dispatch in the FIFO queue.
             pending.done.copy_to_host_async()
 
-        if learned is None:
-            _sched["points"] = recorded
-        plan.schedule = _sched["points"]
+        plan.schedule = recorded  # this call's compaction iterations
 
         for res, rows, gmap in stash:
             dst = gmap[rows]
@@ -1070,7 +1076,6 @@ def make_bucketed_planner(
             tree=None,
         )
 
-    plan.reset_schedule = lambda: _sched.update(points=None)
     return plan
 
 

@@ -214,14 +214,25 @@ _ACC_KEYS = (
 
 def _run_macro_chunks(sweeps, params, k_run, env, lengths):
     """Drive one env batch through the bounded-dispatch macro chunks."""
+    import os
+    import sys
+    import time as _time
+
+    progress = bool(os.environ.get("DAIF_SWEEP_PROGRESS"))
     acc = {k: 0.0 for k in _ACC_KEYS}
     trajs = []
     out = None
+    t0 = _time.time()
     for i, n in enumerate(lengths):
         out = sweeps[n](params, jax.random.fold_in(k_run, i), env)
         env = out["env"]
         for k in _ACC_KEYS:
             acc[k] += float(out[k])
+        if progress:
+            # Heartbeat for diagnosing tunnel wedges: one line per bounded
+            # dispatch AFTER its results came back to the host.
+            print(f"# chunk {i + 1}/{len(lengths)} done "
+                  f"{_time.time() - t0:.0f}s", file=sys.stderr, flush=True)
         if "score_traj" in out:
             trajs.append(out["score_traj"])
     out = dict(out)

@@ -10,11 +10,11 @@ Suspects named by the verdict:
       entirely (no recorded points -> one full-width chunk);
   (b) the distilled prior's flatter root visits delaying phase-B exits.
 
-This probe measures, on the real chip with the trained checkpoint:
-  1. plain fused-bf16 planner at B=256 (the comparability baseline);
-  2. bucketed, schedule memoized across reps (exactly what bench.py timed);
-  3. bucketed, schedule reset before every call (no memoization);
-with per-rep wall times, bucket traces, and learned schedules printed.
+The memoized schedule was replaced by within-call adaptive deepening
+(stateless across calls — see the cadence comment in
+``make_bucketed_planner``). This probe measures, on the real chip with the
+trained checkpoint, plain fused-bf16 vs adaptive bucketed at the same
+budget, with per-rep wall times, bucket traces, and schedules printed.
 
 Usage: python scripts/mcts_b256_probe.py [-n CKPT] [--reps 5] [--B 256]
 """
@@ -75,27 +75,24 @@ def main():
         print(f"plain   B={args.B}: {args.B * args.reps / dt:7.1f} plans/s "
               f"({dt / args.reps:.2f} s/rep)", flush=True)
 
-    for mode in ("memoized", "reset-per-call"):
-        planner = mcts_lib.make_bucketed_planner(agent, p)
-        for k in (1, 101):  # same warmup pattern as bench.py
-            res = planner(params, jax.random.key(k), o)
+    planner = mcts_lib.make_bucketed_planner(agent, p)
+    for k in (1, 101):  # same warmup pattern as bench.py
+        res = planner(params, jax.random.key(k), o)
+    jax.block_until_ready(res.actions)
+    print(f"bucketed warmup schedule={planner.schedule} "
+          f"trace={planner.bucket_trace}", flush=True)
+    times = []
+    for i in range(args.reps):
+        t0 = time.perf_counter()
+        res = planner(params, jax.random.key(2 + i), o)
         jax.block_until_ready(res.actions)
-        print(f"bucketed[{mode}] warmup schedule={planner.schedule} "
-              f"trace={planner.bucket_trace}", flush=True)
-        times = []
-        for i in range(args.reps):
-            if mode == "reset-per-call":
-                planner.reset_schedule()
-            t0 = time.perf_counter()
-            res = planner(params, jax.random.key(2 + i), o)
-            jax.block_until_ready(res.actions)
-            times.append(time.perf_counter() - t0)
-            print(f"  rep {i}: {times[-1]:.2f}s trace={planner.bucket_trace} "
-                  f"sched={planner.schedule}", flush=True)
-        dt = sum(times)
-        print(f"bucketed[{mode}] B={args.B}: "
-              f"{args.B * args.reps / dt:7.1f} plans/s "
-              f"(reps: {', '.join(f'{t:.2f}' for t in times)})", flush=True)
+        times.append(time.perf_counter() - t0)
+        print(f"  rep {i}: {times[-1]:.2f}s trace={planner.bucket_trace} "
+              f"sched={planner.schedule}", flush=True)
+    dt = sum(times)
+    print(f"bucketed[adaptive] B={args.B}: "
+          f"{args.B * args.reps / dt:7.1f} plans/s "
+          f"(reps: {', '.join(f'{t:.2f}' for t in times)})", flush=True)
 
 
 if __name__ == "__main__":
