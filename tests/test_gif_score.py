@@ -47,3 +47,43 @@ def test_fresh_decode_matches_committed():
     d = np.load(NPZ)
     np.testing.assert_array_equal(clean, d["clean"])
     np.testing.assert_allclose(scores, d["scores"])
+
+
+def test_pixel_font_paint_decode_roundtrip():
+    """The rebuild's --record_ref overlay (viz/scoretext.py) must decode
+    EXACTLY under the same algorithm that decodes the reference recording
+    (band crop, gap cut, cleanliness, exact glyph match) — this is what
+    makes the reference-vs-rebuild gif comparison same-decoder."""
+    import sys
+
+    sys.path.insert(0, str(Path(__file__).parent.parent / "scripts"))
+    import gif_score
+
+    from deep_active_inference_mc_tpu.viz import scoretext
+
+    tmpl = {ch: t.astype(np.uint8) for ch, t in scoretext.templates().items()}
+    vals = [0.0, 11.6875, -3.25, 0.0625, 12.3125, -0.5625, 9.9375, 5.5]
+    for v in vals:
+        frame = np.zeros((500, 500), np.uint8)
+        scoretext.paint_score(frame, v, rate=abs(v) / 3.7)
+        bm, clean = gif_score.first_number_bitmap(frame)
+        assert clean, f"{v}: frame not clean"
+        assert gif_score.decode_number(bm, tmpl) == pytest.approx(v)
+
+
+def test_pixel_font_contaminated_frame_rejected():
+    """Sprite ink inside the number's columns below band row 18 must flag
+    the frame dirty (the decoder's no-descender contamination check), so a
+    sprite walking through the text band can never corrupt a decode."""
+    import sys
+
+    sys.path.insert(0, str(Path(__file__).parent.parent / "scripts"))
+    import gif_score
+
+    from deep_active_inference_mc_tpu.viz import scoretext
+
+    frame = np.zeros((500, 500), np.uint8)
+    scoretext.paint_score(frame, 7.875)
+    frame[44:47, 95:110] = 255  # fake sprite ink under the digits
+    _, clean = gif_score.first_number_bitmap(frame)
+    assert not clean
