@@ -87,6 +87,17 @@ def main(argv=None):
                         "retire/compaction checks.")
     parser.add_argument("--mcts_min_bucket", type=int, default=32,
                         help="Bucketed planner: smallest compaction bucket.")
+    parser.add_argument("--plan_queue", action="store_true",
+                        help="reference full-plan execution protocol "
+                        "(test_demo.py:161-204): enqueue the whole MCTS "
+                        "path / the EFE action x steps, execute one entry "
+                        "per macro, flush on scoring. Default: re-plan "
+                        "every macro (first path action only).")
+    parser.add_argument("--queue_cap", type=int, default=0,
+                        help="with --plan_queue: execute at most this many "
+                        "plan entries before re-planning (0 = the whole "
+                        "plan, the reference protocol; 1 = re-plan every "
+                        "macro). Beyond-reference commitment knob.")
     parser.add_argument("--mesh", action="store_true",
                         help="Shard envs over all devices.")
     parser.add_argument("--bf16", action="store_true",
@@ -143,7 +154,8 @@ def main(argv=None):
             agent, cfg, params, lut, jax.random.key(args.seed),
             n_envs=args.envs, n_macro_steps=args.macro, jumps=args.jumps,
             mcts_params=mcts_params, check_every=args.mcts_check_every,
-            min_bucket=args.mcts_min_bucket,
+            min_bucket=args.mcts_min_bucket, plan_queue=args.plan_queue,
+            queue_cap=args.queue_cap,
         )
         out.pop("bucket_traces", None)
     else:
@@ -155,7 +167,8 @@ def main(argv=None):
             steps=args.steps, samples=args.samples,
             jumps=args.jumps, temperature=args.temp,
             calc_mean=not args.sample_G, crn=args.crn,
-            mcts_params=mcts_params,
+            mcts_params=mcts_params, plan_queue=args.plan_queue,
+            queue_cap=args.queue_cap,
         )
     out = jax.device_get(out)
     dt = time.time() - t0
@@ -164,7 +177,9 @@ def main(argv=None):
     # quotes the checkpoint it evaluated, so committed eval logs are
     # reproducible without reverse-engineering per-class magnitudes.
     print(
-        f"method={args.method} ckpt={args.network or 'untrained'} "
+        f"method={args.method}"
+        f"{('+queue' + (f'cap{args.queue_cap}' if args.queue_cap else '')) if args.plan_queue else ''} "
+        f"ckpt={args.network or 'untrained'} "
         f"seed={args.seed} envs={args.envs} macro={args.macro} "
         f"score: {float(out['score_mean']):.3f} +- {float(out['score_sem']):.3f} "
         f"(std {float(out['score_std']):.3f}, min {float(out['score_min']):.2f}, "

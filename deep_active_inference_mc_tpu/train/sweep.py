@@ -17,6 +17,18 @@ plan; game_environment.py:154-169), then re-plan. Controllers:
   mcts    batched array-MCTS, first action of the planned path (method '1')
   random  uniform actions (baseline)
   expert  ground-truth policy (game_environment.py:94-111, upper bound)
+
+``plan_queue=True`` upgrades mcts/ai/t1/t12 to the reference demo's FULL
+plan-execution protocol (test_demo.py:161-204): the whole trimmed MCTS
+path (or the EFE agent's action x ``steps``) is enqueued, one queue entry
+(= ``jumps`` primitive repeats) executes per macro step, and a scoring
+event flushes the queue so the next macro re-plans against the respawned
+object. The default (queue off) re-plans every macro step and executes
+only the first path action — more planning per env step but less
+commitment; measured round 5: commitment dominates (see eval log).
+habit/random/expert re-decide every macro in both modes (the reference
+enqueues habit actions without the jumps multiplier, which has no macro
+analogue here).
 """
 
 from __future__ import annotations
@@ -83,6 +95,51 @@ def _controller_actions(
     return jax.random.categorical(k_act, score / temperature, axis=-1)
 
 
+def _controller_plan(
+    agent, params, key, o, method, steps, samples, temperature,
+    mcts_params, calc_mean, crn=False,
+):
+    """One planning decision per env as a PLAN: ((B, cap) actions, (B,)
+    lengths). mcts: the trimmed visit-max path (empty paths fall back to
+    the visit-max root action, length 1 — the demo would re-plan next
+    frame anyway). ai/t1/t12: the sampled action tiled ``steps`` wide
+    (the reference enqueues it steps x jumps primitives;
+    test_demo.py:163-186)."""
+    if method == "mcts":
+        res = mcts_lib.active_inference_mcts(agent, params, key, o, mcts_params)
+        root_best = jnp.argmax(res.root_N, axis=-1).astype(res.actions.dtype)
+        empty = res.lengths <= 0
+        actions = jnp.where(
+            empty[:, None], res.actions.at[:, 0].set(root_best), res.actions
+        )
+        return actions, jnp.maximum(res.lengths, 1)
+
+    k_G, k_act = jax.random.split(key)
+    if crn:
+        G, terms, _ = efe.calculate_G_4_repeated_crn(
+            agent, params, k_G, o, steps=steps, calc_mean=calc_mean,
+            samples=samples, mean_estimator=calc_mean,
+        )
+    else:
+        G, terms, _ = efe.calculate_G_4_repeated(
+            agent, params, k_G, o, steps=steps, calc_mean=calc_mean,
+            samples=samples,
+        )
+    t0 = -terms[0]
+    t1 = terms[1]
+    score = {
+        "ai": -G,
+        "t1": -t0,
+        "t12": -(t0 + t1),
+    }[method]
+    a = jax.random.categorical(k_act, score / temperature, axis=-1)
+    a = a.astype(jnp.int32)
+    return (
+        jnp.repeat(a[:, None], steps, axis=1),
+        jnp.full(a.shape, steps, jnp.int32),
+    )
+
+
 def _make_render_fn(lut: jax.Array, mesh, resolution: int = 64,
                     channels: int = 1):
     """Frame renderer for the sweep. The env dispatcher handles every
@@ -111,6 +168,8 @@ def make_sweep(
     zero_score: bool = True,
     crn: bool = False,
     record_traj: bool = False,
+    plan_queue: bool = False,
+    queue_cap: int = 0,
 ):
     """Compile a sweep: (params, key, n_envs-batched env) -> score stats.
     ``zero_score=False`` continues accumulating a prior chunk's score
@@ -118,74 +177,140 @@ def make_sweep(
 
     calc_mean=True mirrors the reference demo's ``-m/--mean`` evaluation
     mode (test_demo.py:13,73-77); calc_mean=False + samples=10 is its
-    sampling default."""
+    sampling default.
+
+    With ``plan_queue=True`` (mcts/ai/t1/t12 only — see module docstring)
+    the sweep takes an extra queue-state argument and returns it under
+    ``"qstate"`` so chunked dispatches carry in-flight plans across calls;
+    build the initial state with ``sweep.init_qstate(n_envs)``. Planning
+    still runs every macro step for the whole batch (jit needs static
+    shapes) but its result is adopted only by envs whose queue is
+    exhausted — wall time per macro is unchanged, behavior matches the
+    reference protocol."""
     if method not in METHODS:
         raise ValueError(f"method {method!r} not in {METHODS}")
     if mcts_params is None:
         mcts_params = mcts_lib.MCTSParams(repeats=50, max_depth=16)
+    use_queue = plan_queue and method in ("mcts", "ai", "t1", "t12")
+    q_cap = mcts_params.max_depth if method == "mcts" else max(steps, 1)
+    # queue_cap>0 bounds COMMITMENT (how much of each plan executes before
+    # re-planning) between the two protocol extremes: 1 == re-plan every
+    # macro (the round<=4 protocol), 0/max_depth == the reference's full
+    # plan execution. Beyond-reference knob: full commitment doubles the
+    # scoring-event rate but executes stale plan tails sloppily (round-5
+    # measurement); a small cap keeps the commitment win and re-plans
+    # before the tail degrades.
+    if queue_cap:
+        q_cap = min(q_cap, queue_cap)
     render_fn = _make_render_fn(lut, mesh, cfg.resolution, cfg.colour_channels)
 
-    @jax.jit
-    def sweep(params: Params, key: jax.Array, env: env_lib.EnvState):
-        if zero_score:
-            env = env.replace(score=jnp.zeros_like(env.score))
+    def macro_tallies(env, k_step, a, qlen=None, qpos=None, scored_out=None):
+        # The expert acts in env space (it reads ground-truth state);
+        # agent controllers (and the random baseline) act in the
+        # possibly-3-action agent space and map to env moves.
+        if method != "expert":
+            a = env_lib.to_env_actions(a, agent.pi_dim)
+        # Per-shape attribution: shape only changes at respawn, which
+        # freezes the env for the rest of the macro (step_repeated), so
+        # the shape at macro start IS the shape that scores this macro.
+        shape0 = env.latents[..., 1]
+        score0 = env.score
+        env, scored = env_lib.step_repeated(k_step, env, a, repeats=jumps)
+        delta = env.score - score0
+        is_sq = shape0 == 0
+        tallies = (
+            scored.sum(),
+            (scored & is_sq).sum(),
+            (scored & ~is_sq).sum(),
+            jnp.where(is_sq, delta, 0.0).sum(),
+            jnp.where(~is_sq, delta, 0.0).sum(),
+            # Fleet-mean cumulative score after this macro step — the
+            # per-step trajectory for comparison against the reference
+            # recording's frame-by-frame score overlay
+            # (scripts/score_vs_reference.py vs tests/data/gif_scores.npz).
+            env.score.mean(),
+        )
+        return env, scored, tallies
 
-        def macro(env, k):
-            k_plan, k_step = jax.random.split(k)
-            o = render_fn(env)
-            a = _controller_actions(
-                agent, params, k_plan, o, env, method, steps, samples,
-                temperature, mcts_params, calc_mean, crn,
-            )
-            # The expert acts in env space (it reads ground-truth state);
-            # agent controllers (and the random baseline) act in the
-            # possibly-3-action agent space and map to env moves.
-            if method != "expert":
-                a = env_lib.to_env_actions(a, agent.pi_dim)
-            # Per-shape attribution: shape only changes at respawn, which
-            # freezes the env for the rest of the macro (step_repeated), so
-            # the shape at macro start IS the shape that scores this macro.
-            shape0 = env.latents[..., 1]
-            score0 = env.score
-            env, scored = env_lib.step_repeated(k_step, env, a, repeats=jumps)
-            delta = env.score - score0
-            is_sq = shape0 == 0
-            tallies = (
-                scored.sum(),
-                (scored & is_sq).sum(),
-                (scored & ~is_sq).sum(),
-                jnp.where(is_sq, delta, 0.0).sum(),
-                jnp.where(~is_sq, delta, 0.0).sum(),
-                # Fleet-mean cumulative score after this macro step — the
-                # per-step trajectory for comparison against the reference
-                # recording's frame-by-frame score overlay
-                # (scripts/score_vs_reference.py vs tests/data/gif_scores.npz).
-                env.score.mean(),
-            )
-            return env, tallies
+    if use_queue:
 
-        env, (ev_all, ev_sq, ev_oth, r_sq, r_oth, score_t) = jax.lax.scan(
-            macro, env, jax.random.split(key, n_macro_steps)
+        @jax.jit
+        def sweep(params: Params, key: jax.Array, env: env_lib.EnvState,
+                  qstate):
+            if zero_score:
+                env = env.replace(score=jnp.zeros_like(env.score))
+
+            def macro(carry, k):
+                env, queue, qlen, qpos = carry
+                k_plan, k_step = jax.random.split(k)
+                o = render_fn(env)
+                new_q, new_len = _controller_plan(
+                    agent, params, k_plan, o, method, steps, samples,
+                    temperature, mcts_params, calc_mean, crn,
+                )
+                need = qpos >= qlen
+                queue = jnp.where(
+                    need[:, None], new_q[:, :q_cap].astype(queue.dtype), queue
+                )
+                new_len = jnp.minimum(new_len, q_cap)
+                qlen = jnp.where(need, new_len.astype(qlen.dtype), qlen)
+                qpos = jnp.where(need, 0, qpos)
+                a = jnp.take_along_axis(queue, qpos[:, None], axis=1)[:, 0]
+                qpos = qpos + 1
+                env, scored, tallies = macro_tallies(env, k_step, a)
+                # Scoring flushes the plan queue (test_demo.py:200-204):
+                # the old plan addressed the now-respawned object.
+                qpos = jnp.where(scored, qlen, qpos)
+                return (env, queue, qlen, qpos), tallies
+
+            (env, queue, qlen, qpos), tallies = jax.lax.scan(
+                macro, (env,) + tuple(qstate),
+                jax.random.split(key, n_macro_steps),
+            )
+            return env, (queue, qlen, qpos), tallies
+
+        def init_qstate(n_envs: int):
+            return (
+                jnp.zeros((n_envs, q_cap), jnp.int32),
+                jnp.zeros((n_envs,), jnp.int32),
+                jnp.zeros((n_envs,), jnp.int32),
+            )
+
+    else:
+
+        @jax.jit
+        def sweep(params: Params, key: jax.Array, env: env_lib.EnvState,
+                  qstate=None):
+            if zero_score:
+                env = env.replace(score=jnp.zeros_like(env.score))
+
+            def macro(env, k):
+                k_plan, k_step = jax.random.split(k)
+                o = render_fn(env)
+                a = _controller_actions(
+                    agent, params, k_plan, o, env, method, steps, samples,
+                    temperature, mcts_params, calc_mean, crn,
+                )
+                env, _, tallies = macro_tallies(env, k_step, a)
+                return env, tallies
+
+            env, tallies = jax.lax.scan(
+                macro, env, jax.random.split(key, n_macro_steps)
+            )
+            return env, None, tallies
+
+        init_qstate = None
+
+    def run(params: Params, key: jax.Array, env: env_lib.EnvState,
+            qstate=None):
+        if use_queue and qstate is None:
+            qstate = init_qstate(env.score.shape[0])
+        env, qstate, (ev_all, ev_sq, ev_oth, r_sq, r_oth, score_t) = sweep(
+            params, key, env, qstate
         )
         scores = env.score
         n = scores.shape[0]
-        if record_traj:
-            return {
-                "score_traj": score_t,
-                "scores": scores,
-                "env": env,
-                "score_mean": scores.mean(),
-                "score_sem": scores.std() / jnp.sqrt(n),
-                "scoring_events": ev_all.sum(),
-                "events_sq": ev_sq.sum(),
-                "events_other": ev_oth.sum(),
-                "score_sq": r_sq.sum() / n,
-                "score_other": r_oth.sum() / n,
-                "score_std": scores.std(),
-                "score_min": scores.min(),
-                "score_max": scores.max(),
-            }
-        return {
+        out = {
             "score_mean": scores.mean(),
             "score_std": scores.std(),
             "score_min": scores.min(),
@@ -202,8 +327,14 @@ def make_sweep(
             "scores": scores,
             "env": env,
         }
+        if record_traj:
+            out["score_traj"] = score_t
+        if use_queue:
+            out["qstate"] = qstate
+        return out
 
-    return sweep
+    run.init_qstate = init_qstate
+    return run
 
 
 _ACC_KEYS = (
@@ -222,10 +353,12 @@ def _run_macro_chunks(sweeps, params, k_run, env, lengths):
     acc = {k: 0.0 for k in _ACC_KEYS}
     trajs = []
     out = None
+    qstate = None
     t0 = _time.time()
     for i, n in enumerate(lengths):
-        out = sweeps[n](params, jax.random.fold_in(k_run, i), env)
+        out = sweeps[n](params, jax.random.fold_in(k_run, i), env, qstate)
         env = out["env"]
+        qstate = out.get("qstate")
         for k in _ACC_KEYS:
             acc[k] += float(out[k])
         if progress:
@@ -353,6 +486,8 @@ def run_sweep_bucketed(
     mcts_params: Optional[mcts_lib.MCTSParams] = None,
     check_every: int = 16,
     min_bucket: int = 32,
+    plan_queue: bool = False,
+    queue_cap: int = 0,
 ) -> Dict[str, jax.Array]:
     """MCTS sweep on the bucketed (batch-compaction) planner.
 
@@ -361,7 +496,14 @@ def run_sweep_bucketed(
     planning pauses at iteration boundaries to retire decided envs. Output
     keys match ``run_sweep``. Host-level macro steps also subsume
     run_sweep's dispatch chunking (each device dispatch is ≤ check_every
-    planner iterations — far below the axon tunnel's crash horizon)."""
+    planner iterations — far below the axon tunnel's crash horizon).
+
+    ``plan_queue=True`` runs the reference full-plan protocol (module
+    docstring) with a host-side queue — and, because the loop is
+    host-driven, planning calls are made ONLY for the envs whose queue is
+    exhausted (gathered and padded to a power-of-two bucket): unlike the
+    jitted path, commitment here directly cuts planning wall time by the
+    mean plan length."""
     import numpy as np
 
     if mcts_params is None:
@@ -387,24 +529,61 @@ def run_sweep_bucketed(
             jnp.where(is_sq, delta, 0.0).sum(),
             jnp.where(~is_sq, delta, 0.0).sum(),
         )
-        return env, tallies
+        return env, scored, tallies
 
     k_env, k_run = jax.random.split(key)
     env = env_lib.randomize(k_env, env_lib.reset(k_env, n_envs))
     env = env.replace(score=jnp.zeros_like(env.score))
     acc = np.zeros(5)
     buckets = []
+    queue = np.zeros((n_envs, mcts_params.max_depth), np.int32)
+    qlen = np.zeros(n_envs, np.int32)
+    qpos = np.zeros(n_envs, np.int32)
     for i in range(n_macro_steps):
         k_plan, k_step = jax.random.split(jax.random.fold_in(k_run, i))
-        o = render(env)
-        res = plan(params, k_plan, o)
-        buckets.append(plan.bucket_trace)
-        first = np.asarray(res.actions[:, 0])
-        root_best = np.asarray(res.root_N).argmax(-1)
-        a = np.where(np.asarray(res.lengths) > 0, first, root_best)
-        env, tallies = apply_actions(
-            k_step, env, jnp.asarray(a, jnp.int32)
-        )
+        if plan_queue:
+            need = np.nonzero(qpos >= qlen)[0]
+            if need.size:
+                # Gather the needing envs' frames, padded to a power-of-two
+                # bucket (planner rows are independent; pad rows discarded).
+                pad = max(min_bucket, 1 << max(int(need.size) - 1, 0)
+                          .bit_length())
+                sel = np.concatenate(
+                    [need, np.repeat(need[:1], pad - need.size)]
+                )
+                o = render(env)
+                res = plan(params, k_plan, jnp.take(o, jnp.asarray(sel),
+                                                    axis=0))
+                buckets.append(plan.bucket_trace)
+                m = need.size
+                actions = np.asarray(res.actions)[:m].copy()
+                lengths = np.asarray(res.lengths)[:m].copy()
+                root_best = np.asarray(res.root_N)[:m].argmax(-1)
+                empty = lengths <= 0
+                actions[empty, 0] = root_best[empty]
+                queue[need] = actions
+                lengths = np.maximum(lengths, 1)
+                if queue_cap:
+                    lengths = np.minimum(lengths, queue_cap)
+                qlen[need] = lengths
+                qpos[need] = 0
+            a = queue[np.arange(n_envs), qpos]
+            qpos += 1
+            env, scored, tallies = apply_actions(
+                k_step, env, jnp.asarray(a, jnp.int32)
+            )
+            # Scoring flushes the plan queue (test_demo.py:200-204).
+            qpos = np.where(np.asarray(scored), qlen, qpos)
+        else:
+            o = render(env)
+            res = plan(params, k_plan, o)
+            buckets.append(plan.bucket_trace)
+            first = np.asarray(res.actions[:, 0])
+            root_best = np.asarray(res.root_N).argmax(-1)
+            a = np.where(np.asarray(res.lengths) > 0, first, root_best)
+            env, _, tallies = apply_actions(
+                k_step, env, jnp.asarray(a, jnp.int32)
+            )
         acc += np.asarray(jax.device_get(tallies), np.float64)
     scores = env.score
     n = scores.shape[0]

@@ -42,7 +42,7 @@ MCTSB_ENVS=${MCTSB_ENVS:-512}     # bucketed planner affords 2x the envs
 
 # METHODS override lets a time-bounded session run priority rows first
 # (results are order-independent: every row is a fresh process at --seed 0).
-METHODS=${METHODS:-random expert habit ai ai_crn t1 t12 ai_ref mcts mcts_c2 mcts_bucketed}
+METHODS=${METHODS:-random expert habit ai ai_crn t1 t12 ai_ref mcts mcts_c2 mcts_bucketed mcts_queue mcts_bucketed_queue}
 
 for METHOD in $METHODS; do
   EXTRA=""
@@ -78,6 +78,19 @@ for METHOD in $METHODS; do
             # --chunk.
             M=mcts
             EXTRA="--mcts_repeats $MCTS_REPEATS --mcts_fused --bf16 --mcts_bucketed"
+            N=$MCTSB_ENVS; TMO=3600 ;;
+    # Reference full-plan protocol rows (round 5): the demo enqueues the
+    # WHOLE trimmed MCTS path x jumps and flushes it on scoring
+    # (test_demo.py:161-204) — the protocol the reference recording used.
+    # The plain mcts rows above re-plan every macro (round<=4 protocol,
+    # kept for cross-round comparability).
+    mcts_queue)
+            M=mcts
+            EXTRA="--mcts_repeats $MCTS_REPEATS --mcts_fused --bf16 --chunk 8 --plan_queue"
+            N=$MCTS_ENVS; TMO=1800 ;;
+    mcts_bucketed_queue)
+            M=mcts
+            EXTRA="--mcts_repeats $MCTS_REPEATS --mcts_fused --bf16 --mcts_bucketed --plan_queue"
             N=$MCTSB_ENVS; TMO=3600 ;;
   esac
   echo "# sweep method=$METHOD"
