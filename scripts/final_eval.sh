@@ -19,15 +19,24 @@ MCTS_ENVS=${MCTS_ENVS:-256}
 MCTS_REPEATS=${MCTS_REPEATS:-300}
 
 run_with_retry() {
+  # Connect-wedge detection is delegated to tpu_run.sh (kills a child
+  # that accumulates no CPU during warmup instead of waiting out the
+  # full timeout); on top of that, an attempt that timed out without a
+  # result line gets one full retry.
   local desc="$1"; local tmo="$2"; shift 2
+  local tmplog
+  tmplog=$(mktemp /tmp/final_eval.XXXXXX.log)
   for attempt in 1 2; do
-    OUT=$(timeout "$tmo" "$@" 2>&1 | grep -v WARNING | tail -1)
+    bash "$(dirname "$0")/tpu_run.sh" "$tmplog" "$tmo" "$@"
+    OUT=$(grep -v -e WARNING -e '^#' -e '^Loaded' -e '^Untrained' "$tmplog" | tail -1)
     if [ -n "$OUT" ]; then
       echo "$OUT"
+      rm -f "$tmplog"
       return 0
     fi
-    echo "# $desc: attempt $attempt produced no output (tunnel wedge?) — retrying" >&2
+    echo "# $desc: attempt $attempt produced no result line — retrying" >&2
   done
+  rm -f "$tmplog"
   echo "# $desc: FAILED after 2 attempts" >&2
   return 1
 }
