@@ -2,8 +2,9 @@
 
 The behavioral deliverable (a trained agent that sorts squares LEFT and
 ellipses/hearts RIGHT — reference README.md:1-5) lives in
-``artifacts/run512/checkpoints`` (the training run's latest hourly
-snapshot — distilled-habit lineage since round 4's phase 3) and
+``artifacts/run512/checkpoints`` (the FLAGSHIP: phase-3 epoch-1299
+snapshot — round-5 measured best under both eval protocols, see
+docs/STATUS.md round-5 matrix) and
 ``artifacts/run512/checkpoints_distilled`` (the round-4 MCTS-visit-distilled
 habit — apps/distill.py; paired habit sweep +0.80 vs +0.36 for the
 joint-trainer habit it replaced, per-class both positive: sq +0.205 /
