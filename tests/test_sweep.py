@@ -245,6 +245,7 @@ def test_plan_queue_bucketed_runs(cfg, agent, params, lut):
     assert out["scores"].shape == (16,)
 
 
+@pytest.mark.slow
 def test_plan_queue_cap_bounds_commitment(cfg, agent, params, lut, monkeypatch):
     """queue_cap=1 must reduce the queue protocol to per-macro re-planning:
     identical trajectory to plan_queue=False under the same keys."""
