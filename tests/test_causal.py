@@ -54,6 +54,7 @@ def test_counterfactual_changes_decode(model):
     np.testing.assert_allclose(np.asarray(cf0), np.asarray(recon), rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_causal_training_reduces_loss(cfg, model, lut):
     state, opt = causal_lib.create_causal_state(
         cfg, model, jax.random.key(0), lr=1e-3

@@ -55,6 +55,7 @@ def test_visit_targets_normalize_and_temper():
     assert float(flat[0, 0]) < float(t[0, 0])
 
 
+@pytest.mark.slow
 def test_distill_phase_updates_only_top(cfg, agent, lut):
     """One phase: runs end to end, changes top params, leaves mid/down and
     their optimizer states untouched, and reports finite metrics."""

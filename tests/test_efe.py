@@ -281,6 +281,7 @@ def test_jit_compiles_whole_G4(agent, params):
     assert G.shape == (4, 4)
 
 
+@pytest.mark.slow
 def test_crn_columns_equal_single_action_path(agent, params):
     """Each CRN column a must equal calculate_G_repeated(key, o, pi=a) with
     the *same* key — CRN is exactly 'run every action under one key'."""

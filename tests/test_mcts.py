@@ -282,6 +282,7 @@ def test_early_exit_matches_reference_when_all_decide_early(monkeypatch):
     assert int(np.max(np.asarray(res.repeats_done))) < p.repeats
 
 
+@pytest.mark.slow
 def test_stochastic_selection_modes(monkeypatch):
     """deterministic=False walks (reference mcts.py:53,58,101,106): sampled
     selection/action walks run and the final action is drawn from the root

@@ -175,6 +175,7 @@ def test_multihost_wiring_single_host():
     assert m.devices.size == 4 and m.axis_names == ("data",)
 
 
+@pytest.mark.slow
 def test_non_primary_host_writes_nothing(tmp_path, monkeypatch):
     """Process-0 gating: a non-primary trainer process trains but writes no
     checkpoints, config, stats or figures."""

@@ -32,6 +32,7 @@ def lut():
     return raster.build_sprite_lut()
 
 
+@pytest.mark.slow
 def test_expert_beats_random(cfg, agent, params, lut):
     out_rand = sweep_lib.run_sweep(
         agent, cfg, params, lut, jax.random.key(1), n_envs=128,
@@ -134,6 +135,7 @@ def test_env_chunk_must_divide(cfg, agent, params, lut):
         )
 
 
+@pytest.mark.slow
 def test_score_trajectory_recording(cfg, agent, params, lut):
     """record_traj: per-macro-step fleet-mean score series — monotone x-grid
     for the reference-recording comparison (scripts/score_vs_reference.py).
@@ -218,6 +220,7 @@ def test_plan_queue_executes_full_plan(cfg, agent, params, lut, monkeypatch):
     assert (np.asarray(qlen) == len(plan_actions)).all()
 
 
+@pytest.mark.slow
 def test_plan_queue_ai_repeats_action(cfg, agent, params, lut):
     """ai+queue with steps=s commits to each sampled action for s macro
     steps (the reference enqueues it steps x jumps primitives) — the sweep

@@ -162,6 +162,7 @@ def test_epoch_scan_and_gamma_anneal(cfg, agent, lut):
     np.testing.assert_allclose(float(prec.gamma), 0.8, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_eval_pass(cfg, agent, lut):
     state = train_loop.create_train_state(cfg, agent, jax.random.key(0))
     eval_fn = make_jit_eval(agent, cfg, lut)
