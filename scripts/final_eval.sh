@@ -51,35 +51,35 @@ MCTSB_ENVS=${MCTSB_ENVS:-512}     # bucketed planner affords 2x the envs
 
 # METHODS override lets a time-bounded session run priority rows first
 # (results are order-independent: every row is a fresh process at --seed 0).
-METHODS=${METHODS:-random expert habit ai ai_crn t1 t12 ai_ref mcts mcts_c2 mcts_bucketed mcts_queue mcts_bucketed_queue}
+METHODS=${METHODS:-random expert habit ai ai_crn t1 t12 ai_ref mcts mcts_c2 mcts_queue mcts_c2_queue mcts_bucketed mcts_bucketed_queue}
 
 for METHOD in $METHODS; do
   EXTRA=""
   N=$ENVS
   M=$METHOD
-  TMO=540
+  TMO=${BASE_TMO:-1500}
   case $METHOD in
-    ai)     EXTRA="--steps 2 --env_chunk $AI_CHUNK"; N=$AI_ENVS; TMO=1200 ;;
-    ai_crn) M=ai; EXTRA="--steps 2 --crn --env_chunk $AI_CHUNK"; N=$AI_ENVS; TMO=1200 ;;
+    ai)     EXTRA="--steps 2 --env_chunk $AI_CHUNK"; N=$AI_ENVS; TMO=2400 ;;
+    ai_crn) M=ai; EXTRA="--steps 2 --crn --env_chunk $AI_CHUNK"; N=$AI_ENVS; TMO=2400 ;;
     # Term-ablated controllers (reference demo methods '5'/'6',
     # test_demo.py:70-77) at the same settings as the ai row so the
     # controller comparison is complete (VERDICT r3 weak #5).
-    t1)     EXTRA="--steps 2 --env_chunk $AI_CHUNK"; N=$AI_ENVS; TMO=1200 ;;
-    t12)    EXTRA="--steps 2 --env_chunk $AI_CHUNK"; N=$AI_ENVS; TMO=1200 ;;
+    t1)     EXTRA="--steps 2 --env_chunk $AI_CHUNK"; N=$AI_ENVS; TMO=2400 ;;
+    t12)    EXTRA="--steps 2 --env_chunk $AI_CHUNK"; N=$AI_ENVS; TMO=2400 ;;
     # The reference demo's DEFAULT eval mode for ai agents: sampled
     # estimator, samples=10, steps=10 (test_demo.py:70-77). ~100x the
     # per-decision FLOPs of the 1-step mean row, so a narrower fleet.
     ai_ref) M=ai; EXTRA="--steps 10 --samples 10 --sample_G"
             N=${AIREF_ENVS:-128}; TMO=3600 ;;
     mcts)   EXTRA="--mcts_repeats $MCTS_REPEATS --mcts_fused --bf16 --chunk 8"
-            N=$MCTS_ENVS; TMO=1800 ;;
+            N=$MCTS_ENVS; TMO=2400 ;;
     # Tuned exploration constant at the same budget (round-4 probe:
     # C=2 +1.511 vs C=1 +1.294 at 128 envs; prior-weighted selection
     # adds nothing over plain C=2). Reference default stays C=1.
     mcts_c2)
             M=mcts
             EXTRA="--mcts_repeats $MCTS_REPEATS --mcts_fused --bf16 --chunk 8 --mcts_c 2.0"
-            N=$MCTS_ENVS; TMO=1800 ;;
+            N=$MCTS_ENVS; TMO=2400 ;;
     mcts_bucketed)
             # Batch-compaction planner (plan/mcts.py:make_bucketed_planner):
             # same estimators, decided envs retire mid-search — 4x the env
@@ -96,7 +96,11 @@ for METHOD in $METHODS; do
     mcts_queue)
             M=mcts
             EXTRA="--mcts_repeats $MCTS_REPEATS --mcts_fused --bf16 --chunk 8 --plan_queue"
-            N=$MCTS_ENVS; TMO=1800 ;;
+            N=$MCTS_ENVS; TMO=2400 ;;
+    mcts_c2_queue)
+            M=mcts
+            EXTRA="--mcts_repeats $MCTS_REPEATS --mcts_fused --bf16 --chunk 8 --plan_queue --mcts_c 2.0"
+            N=$MCTS_ENVS; TMO=2400 ;;
     mcts_bucketed_queue)
             M=mcts
             EXTRA="--mcts_repeats $MCTS_REPEATS --mcts_fused --bf16 --mcts_bucketed --plan_queue"
